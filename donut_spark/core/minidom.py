@@ -1,0 +1,154 @@
+"""A minimal lenient HTML DOM on top of stdlib ``html.parser``.
+
+The reference uses BeautifulSoup (`thirdparty/synthtable/utils/
+html_util.py`) and lxml (`teds.py:190-194`); neither is available in this
+container, so this module provides the small slice of DOM behavior the
+kernels need: lenient parsing of malformed fragments, document-order
+``find_all``, descendant-text extraction, child mutation, attribute
+editing, and round-trip serialization.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator, List, Optional
+
+__all__ = ["HNode", "parse_html"]
+
+# HTML void elements never take children (subset that matters for docs).
+_VOID = {
+    "br", "img", "hr", "input", "meta", "link", "area", "base",
+    "col", "embed", "source", "track", "wbr",
+}
+
+
+class HNode:
+    """Element node (``tag`` set) or text node (``tag is None``)."""
+
+    __slots__ = ("tag", "attrs", "children", "data")
+
+    def __init__(self, tag: Optional[str], attrs=None, data: str = ""):
+        self.tag = tag
+        self.attrs: dict = attrs if attrs is not None else {}
+        self.children: List["HNode"] = []
+        self.data = data  # text payload for text nodes
+
+    # -- queries -------------------------------------------------------
+
+    @property
+    def is_text(self) -> bool:
+        return self.tag is None
+
+    def iter(self) -> Iterator["HNode"]:
+        """Pre-order document-order traversal including self."""
+        yield self
+        for child in list(self.children):
+            yield from child.iter()
+
+    def find_all(self, tag: str) -> List["HNode"]:
+        return [n for n in self.iter() if n.tag == tag]
+
+    def descendant_elements(self) -> List["HNode"]:
+        return [n for n in self.iter() if n is not self and not n.is_text]
+
+    @property
+    def text(self) -> str:
+        """Concatenated text of all descendant text nodes (bs4 ``.text``)."""
+        if self.is_text:
+            return self.data
+        return "".join(n.data for n in self.iter() if n.is_text)
+
+    # -- mutation ------------------------------------------------------
+
+    def insert_text(self, index: int, text: str) -> None:
+        self.children.insert(index, HNode(None, data=text))
+
+    def append_text(self, text: str) -> None:
+        self.children.append(HNode(None, data=text))
+
+    def replace_child(self, old: "HNode", new: "HNode") -> bool:
+        for i, c in enumerate(self.children):
+            if c is old:
+                self.children[i] = new
+                return True
+        return False
+
+    def replace_with_text(self, root: "HNode", text: str) -> None:
+        """Replace this node (wherever it sits under ``root``) with text."""
+        parent = root.find_parent(self)
+        if parent is not None:
+            parent.replace_child(self, HNode(None, data=text))
+
+    def find_parent(self, target: "HNode") -> Optional["HNode"]:
+        for node in self.iter():
+            if not node.is_text and any(c is target for c in node.children):
+                return node
+        return None
+
+    def set_string(self, text: str) -> None:
+        """Replace all children with a single text node (bs4 ``.string=``)."""
+        self.children = [HNode(None, data=text)]
+
+    # -- serialization -------------------------------------------------
+
+    def to_html(self) -> str:
+        if self.is_text:
+            return self.data
+        parts = []
+        nodes = self.children if self.tag == "[document]" else [self]
+        for node in nodes:
+            node._serialize(parts)
+        return "".join(parts)
+
+    def _serialize(self, out: List[str]) -> None:
+        if self.is_text:
+            out.append(self.data)
+            return
+        attrs = "".join(f' {k}="{v}"' for k, v in self.attrs.items())
+        if self.tag in _VOID:
+            out.append(f"<{self.tag}{attrs}/>")
+            return
+        out.append(f"<{self.tag}{attrs}>")
+        for child in self.children:
+            child._serialize(out)
+        out.append(f"</{self.tag}>")
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        if self.is_text:
+            return f"Text({self.data!r})"
+        return f"<{self.tag} {len(self.children)} kids>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = HNode("[document]")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = HNode(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        if tag not in _VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(HNode(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        # lenient close: pop to the nearest matching open tag, ignore strays
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(HNode(None, data=data))
+
+
+def parse_html(html: str) -> HNode:
+    """Parse (possibly malformed) HTML into a document node."""
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
