@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline on sf0.001.
+``queries()`` — one named query per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline operators).
+``oracle_sql()`` — DuckDB twins for every SQL-expressible query; the
+extraction/dedup/ANN kernels that SQL can't express are rows-only.
+
+Column-name parity rule: every computed column is aliased identically in
+the Spark query and its oracle. Floating aggregates are rounded on both
+sides so cross-engine summation order can't flip the value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +16,554 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _sf(sf_dir: str):
+    def load(spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    return load
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved-spans extraction + invariants on sf0.001."""
+    from donut_spark.operators.extract import run_flagship
+
+    df = run_flagship(spark, "/root/testdata/sf0.001", mode="doc")
+    return df.select(
+        "doc_id",
+        F.size("spans").alias("n_spans_in"),
+        F.size("extracted").alias("n_spans_out"),
+        "exact_match",
+        "roundtrip_ok",
+        F.round("nted", 6).alias("nted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operator battery (SQL-expressible — DuckDB oracles below)
+# ---------------------------------------------------------------------------
+
+
+def q01_filter_project(spark, sf):
+    """F1/F2 + pushdown: TPC-H Q6-shaped filter/project/aggregate."""
+    t = _sf(sf)(spark, "lineitem")
+    return t.filter(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1995-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q02_group_agg(spark, sf):
+    """A1/A2: grouped means/sums (TPC-H Q1 shape)."""
+    t = _sf(sf)(spark, "lineitem")
+    return (
+        t.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q03_broadcast_join(spark, sf):
+    """J1: fact ⋈ broadcast dim, grouped."""
+    orders = _sf(sf)(spark, "orders")
+    customer = _sf(sf)(spark, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q04_multi_join(spark, sf):
+    """Join chain across 4 tables, grouped by region."""
+    o = _sf(sf)(spark, "orders")
+    c = _sf(sf)(spark, "customer")
+    n = _sf(sf)(spark, "nation")
+    r = _sf(sf)(spark, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def q05_topk(spark, sf):
+    """O5/A3: top-k with deterministic tiebreak."""
+    return (
+        _sf(sf)(spark, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q06_distinct_sort(spark, sf):
+    """A4/A5/O3: distinct + lexicographic sort."""
+    return _sf(sf)(spark, "part").select("p_brand").distinct().orderBy("p_brand")
+
+
+def q07_window_first(spark, sf):
+    """W-family: first event per user by (ts, event_id) window."""
+    from pyspark.sql import Window
+
+    e = _sf(sf)(spark, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_event"), "event_id")
+    )
+
+
+def q08_union_distinct(spark, sf):
+    """U1/U2: union + distinct."""
+    e = _sf(sf)(spark, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("value") > 90).select("user_id")
+    return a.union(b).distinct()
+
+
+def q09_semijoin(spark, sf):
+    """J3 shape: left-semi join, grouped."""
+    c = _sf(sf)(spark, "customer")
+    o = _sf(sf)(spark, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q10_antijoin(spark, sf):
+    """Resume-style anti join (SURVEY.md §7)."""
+    c = _sf(sf)(spark, "customer")
+    o = _sf(sf)(spark, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+
+
+def q11_bucket_histogram(spark, sf):
+    """A8: decile-style bucketing + counts."""
+    e = _sf(sf)(spark, "events")
+    return (
+        e.withColumn("bucket", F.floor(F.col("value") / 10).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q12_edit_distance(spark, sf):
+    """T13: built-in Levenshtein (lightning_module.py:142 analogue)."""
+    c = _sf(sf)(spark, "customer").filter(F.col("c_custkey") <= 100)
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000001")).alias("dist"),
+    )
+
+
+def q13_regex_filter(spark, sf):
+    """F4/F8/T11: regex predicate filters on documents."""
+    d = _sf(sf)(spark, "documents")
+    return (
+        d.filter(F.col("text").rlike("spark") & ~F.col("text").rlike("dup"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q14_token_stats(spark, sf):
+    """Token counting (whitespace) per language."""
+    d = _sf(sf)(spark, "documents")
+    return (
+        d.withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+def q15_exact_dup_clusters(spark, sf):
+    """Exact dedup: identical-text clusters (md5 keys match DuckDB)."""
+    d = _sf(sf)(spark, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def q16_first_word(spark, sf):
+    """Projection/scalar string ops: first-token distribution."""
+    d = _sf(sf)(spark, "documents")
+    return (
+        d.withColumn("w", F.split(F.col("text"), " ").getItem(0))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q17_skip_limit(spark, sf):
+    """F6/O4: deterministic offset/limit slice."""
+    return (
+        _sf(sf)(spark, "orders")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+def q18_grouped_minmax(spark, sf):
+    """A3/A6: grouped extrema."""
+    e = _sf(sf)(spark, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.count("*").alias("n"),
+    )
+
+
+def q19_window_avg_filter(spark, sf):
+    """Windowed aggregate + filter (above-own-average orders)."""
+    from pyspark.sql import Window
+
+    o = _sf(sf)(spark, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cavg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cavg"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q20_cosine_scores(spark, sf):
+    """Similarity kernel parity: JVM-side cosine vs DuckDB list_cosine."""
+    from donut_spark.operators.similarity import cosine_expr
+
+    e = _sf(sf)(spark, "embeddings").filter(F.col("vec_id") < 50)
+    q = _unit_query_vec(64)
+    return e.select(
+        "vec_id", F.round(cosine_expr("embedding", q), 3).alias("cosine")
+    )
+
+
+def _unit_query_vec(dim: int):
+    # deterministic, engine-neutral query vector
+    import math
+
+    return [round(math.sin(i + 1), 6) for i in range(dim)]
+
+
+# ---------------------------------------------------------------------------
+# Kernel queries (non-SQL-expressible → rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def q21_flagship_metrics(spark, sf):
+    """Corpus-level extraction invariants (deterministic by seed)."""
+    from donut_spark.operators.extract import run_flagship
+
+    df = run_flagship(spark, sf, mode="doc")
+    return df.agg(
+        F.count("*").alias("docs"),
+        F.round(F.avg("exact_match"), 6).alias("exact_match_rate"),
+        F.round(F.avg("roundtrip_ok"), 6).alias("roundtrip_rate"),
+        F.round(F.avg("nted"), 6).alias("mean_nted"),
+    )
+
+
+def q22_extract_spans(spark, sf):
+    """Per-doc extraction output (span-parallel physical plan)."""
+    from donut_spark.operators.extract import extract_documents
+    from donut_spark.sources.fixtures import build_spans_table
+
+    spans = build_spans_table(spark, sf, limit=200)
+    out = extract_documents(spans, mode="span")
+    return out.select(
+        "doc_id",
+        F.size("extracted").alias("n_spans"),
+        (F.col("extracted") == F.col("expected")).cast("int").alias("exact_match"),
+    )
+
+
+def q23_lang_quality(spark, sf):
+    """Text analysis: language-ID, quality score, BPE-ish token count."""
+    from donut_spark.functions.udfs import (
+        detect_lang_udf,
+        quality_udf,
+        token_count_udf,
+    )
+
+    d = _sf(sf)(spark, "documents").limit(300)
+    return d.select(
+        "doc_id",
+        detect_lang_udf("text").alias("detected_lang"),
+        F.round(quality_udf("text"), 6).alias("quality"),
+        token_count_udf("text").alias("n_tokens"),
+    )
+
+
+def q24_minhash_dedup(spark, sf):
+    """MinHash-LSH near-dup candidate pairs."""
+    from donut_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _sf(sf)(spark, "documents")
+    return minhash_lsh_pairs(d).orderBy("a", "b")
+
+
+def q25_simhash_dedup(spark, sf):
+    """SimHash near-dup pairs (hamming ≤ 3)."""
+    from donut_spark.operators.dedup import simhash_pairs
+
+    d = _sf(sf)(spark, "documents")
+    return simhash_pairs(d).orderBy("a", "b")
+
+
+def q26_jaccard_verify(spark, sf):
+    """Exact n-gram Jaccard verification of LSH candidates."""
+    from donut_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = _sf(sf)(spark, "documents")
+    cands = minhash_lsh_pairs(d)
+    return ngram_jaccard_pairs(d, threshold=0.5, candidates=cands).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+def q27_ann_topk(spark, sf):
+    """Brute-force cosine top-k (exact baseline of the ANN path)."""
+    from donut_spark.operators.similarity import cosine_topk
+
+    e = _sf(sf)(spark, "embeddings")
+    return cosine_topk(e, _unit_query_vec(64), k=20).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
+def q28_ann_lsh(spark, sf):
+    """SRP-LSH bucketed ANN (the 10^12-row probe path)."""
+    from donut_spark.operators.similarity import hyperplane_lsh_topk
+
+    e = _sf(sf)(spark, "embeddings")
+    return hyperplane_lsh_topk(e, _unit_query_vec(64), k=20).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
+def q29_multimodal(spark, sf):
+    """Multimodal plumbing: media table synth → decode/featurize →
+    broadcast join back to spans."""
+    from donut_spark.operators.multimodal import (
+        decode_and_featurize,
+        synth_media_table,
+    )
+    from donut_spark.sources.fixtures import build_spans_table
+
+    spans = build_spans_table(spark, sf, limit=100)
+    media = synth_media_table(spark, spans)
+    feats = decode_and_featurize(media)
+    return feats.select(
+        "media_ref", "width", "height", F.size("features").alias("feat_dim")
+    )
+
+
+def q30_table_ops(spark, sf):
+    """Table-HTML kernels: repair grammar → stats → TEDS self-score."""
+    from donut_spark.functions.udfs import repair_table, table_stats_udf, teds_udf
+
+    compact = [
+        ("t1", "<tr><td>a<td>b<tr><td>c<td>d"),
+        ("t2", "<thead><tr><td>h<tbody><tr><td>x"),
+        ("t3", '<tr><tdcolspan="2"> m<td>n'),
+    ]
+    df = spark.createDataFrame(compact, ["tbl_id", "compact"])
+    return (
+        df.withColumn("html", repair_table("compact"))
+        .withColumn("stats", table_stats_udf("html"))
+        .withColumn("teds_self", F.round(teds_udf("html", "html"), 6))
+        .select(
+            "tbl_id",
+            "html",
+            F.col("stats.nums_row").alias("nums_row"),
+            F.col("stats.nums_col").alias("nums_col"),
+            "teds_self",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_filter_project": q01_filter_project,
+        "q02_group_agg": q02_group_agg,
+        "q03_broadcast_join": q03_broadcast_join,
+        "q04_multi_join": q04_multi_join,
+        "q05_topk": q05_topk,
+        "q06_distinct_sort": q06_distinct_sort,
+        "q07_window_first": q07_window_first,
+        "q08_union_distinct": q08_union_distinct,
+        "q09_semijoin": q09_semijoin,
+        "q10_antijoin": q10_antijoin,
+        "q11_bucket_histogram": q11_bucket_histogram,
+        "q12_edit_distance": q12_edit_distance,
+        "q13_regex_filter": q13_regex_filter,
+        "q14_token_stats": q14_token_stats,
+        "q15_exact_dup_clusters": q15_exact_dup_clusters,
+        "q16_first_word": q16_first_word,
+        "q17_skip_limit": q17_skip_limit,
+        "q18_grouped_minmax": q18_grouped_minmax,
+        "q19_window_avg_filter": q19_window_avg_filter,
+        "q20_cosine_scores": q20_cosine_scores,
+        "q21_flagship_metrics": q21_flagship_metrics,
+        "q22_extract_spans": q22_extract_spans,
+        "q23_lang_quality": q23_lang_quality,
+        "q24_minhash_dedup": q24_minhash_dedup,
+        "q25_simhash_dedup": q25_simhash_dedup,
+        "q26_jaccard_verify": q26_jaccard_verify,
+        "q27_ann_topk": q27_ann_topk,
+        "q28_ann_lsh": q28_ann_lsh,
+        "q29_multimodal": q29_multimodal,
+        "q30_table_ops": q30_table_ops,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qvec = "[" + ", ".join(str(v) for v in _unit_query_vec(64)) + "]"
+    return {
+        "q01_filter_project": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q02_group_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_extendedprice), 2) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q03_broadcast_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q04_multi_join": """
+            SELECT r_name AS region, round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q05_topk": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS price
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q06_distinct_sort": """
+            SELECT DISTINCT p_brand FROM part ORDER BY p_brand
+        """,
+        "q07_window_first": """
+            SELECT user_id, event_type AS first_event, event_id FROM (
+                SELECT user_id, event_type, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "q08_union_distinct": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION
+            SELECT user_id FROM events WHERE value > 90
+        """,
+        "q09_semijoin": """
+            SELECT c_nationkey, count(*) AS n_customers FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "q10_antijoin": """
+            SELECT count(*) AS n_without_orders FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q11_bucket_histogram": """
+            SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "q12_edit_distance": """
+            SELECT c_custkey,
+                   levenshtein(c_name, 'Customer#000000001') AS dist
+            FROM customer WHERE c_custkey <= 100
+        """,
+        "q13_regex_filter": """
+            SELECT lang, count(*) AS n_docs FROM documents
+            WHERE regexp_matches(text, 'spark')
+              AND NOT regexp_matches(text, 'dup')
+            GROUP BY lang
+        """,
+        "q14_token_stats": """
+            SELECT lang,
+                   round(avg(n_tokens), 4) AS avg_tokens,
+                   sum(n_tokens) AS sum_tokens
+            FROM (SELECT lang, len(string_split(text, ' ')) AS n_tokens
+                  FROM documents)
+            GROUP BY lang
+        """,
+        "q15_exact_dup_clusters": """
+            SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "q16_first_word": """
+            SELECT string_split(text, ' ')[1] AS w, count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "q17_skip_limit": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            ORDER BY o_orderkey LIMIT 50 OFFSET 100
+        """,
+        "q18_grouped_minmax": """
+            SELECT event_type, round(max(value), 4) AS max_value,
+                   round(min(value), 4) AS min_value, count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "q19_window_avg_filter": """
+            SELECT o_orderstatus, count(*) AS n FROM (
+                SELECT o_orderstatus, o_totalprice,
+                       avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+                FROM orders) WHERE o_totalprice > cavg
+            GROUP BY o_orderstatus
+        """,
+        "q20_cosine_scores": f"""
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], {qvec}), 3)
+                       AS cosine
+            FROM embeddings WHERE vec_id < 50
+        """,
+        # q21..q30: extraction/dedup/ANN/multimodal kernels — not
+        # SQL-expressible; driver records rows-only checks.
+    }

@@ -1,0 +1,233 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+These extend the reference's text handling (charset classifiers
+`synth_table.py:20-31`, corpus cleanup `convert_synthtiger_data_to_
+corpus.py:15-77`) with the standard web-corpus operators a 100 TB
+pipeline needs: language identification, heuristic quality scoring
+(C4/Gopher-style rules), tokenization, document fingerprinting, and the
+MinHash/SimHash primitives behind near-duplicate detection (Broder 1997;
+Charikar 2002).
+
+Pure Python/numpy — wrapped into Arrow-batched pandas UDFs by
+`donut_spark.functions.udfs` and driven at scale by
+`donut_spark.operators.dedup`.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "detect_lang",
+    "quality_score",
+    "count_tokens",
+    "fingerprint64",
+    "word_shingles",
+    "char_ngrams",
+    "minhash_signature",
+    "simhash64",
+    "hamming64",
+    "jaccard",
+    "STOPWORDS",
+]
+
+# Small deterministic stopword inventories for latin-script languages.
+STOPWORDS: Dict[str, frozenset] = {
+    "en": frozenset(
+        "the of and to in a is that it for on with as are was at by an be "
+        "this have from or had not but what all were when we there can".split()
+    ),
+    "es": frozenset(
+        "el la de que y a en un ser se no haber por con su para como estar "
+        "tener le lo todo pero más hacer o poder decir este ir otro".split()
+    ),
+    "fr": frozenset(
+        "le de un être et à il avoir ne je son que se qui ce dans en du elle "
+        "au pour pas que vous par sur faire plus dire me on mon".split()
+    ),
+    "de": frozenset(
+        "der die und in den von zu das mit sich des auf für ist im dem nicht "
+        "ein eine als auch es an werden aus er hat dass sie nach".split()
+    ),
+}
+
+_CJK_RANGES = (
+    ("ko", re.compile(r"[가-힣ᄀ-ᇿㄱ-㆏]")),
+    ("ja", re.compile(r"[぀-ゟ゠-ヿㇰ-ㇿ]")),
+    ("zh", re.compile(r"[一-鿿㐀-䶿]")),
+)
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# BPE-ish pre-tokenizer: contractions, letter runs, digit runs, other
+# non-space glyph runs (the public GPT-2 pre-tokenization shape).
+_BPE_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"
+)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+_NORM_RE = re.compile(r"[^\w]+", re.UNICODE)
+
+
+def detect_lang(text: str) -> str:
+    """Deterministic heuristic language ID.
+
+    CJK scripts are decided by unicode ranges; latin-script text by
+    stopword hit-rate over a small per-language inventory; ``und`` when
+    nothing is confident.
+    """
+    if not text:
+        return "und"
+    for code, pattern in _CJK_RANGES:
+        if len(pattern.findall(text)) >= 3:
+            return code
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    if not words:
+        return "und"
+    best, best_hits = "und", 0
+    for code, stop in STOPWORDS.items():
+        hits = sum(1 for w in words if w in stop)
+        if hits > best_hits:
+            best, best_hits = code, hits
+    if best_hits * 20 < len(words):  # <5% stopwords → unknown
+        return "und"
+    return best
+
+
+def quality_score(text: str) -> float:
+    """Composite heuristic quality score in [0, 1] (C4/Gopher-style).
+
+    Components: length band, mean word length band, stopword presence,
+    punctuation ratio, digit ratio, max single-word repetition share.
+    """
+    if not text:
+        return 0.0
+    words = _WORD_RE.findall(text)
+    n = len(words)
+    if n == 0:
+        return 0.0
+    score = 1.0
+    # length band: very short or absurdly long docs are low quality
+    if n < 5:
+        score *= 0.2
+    elif n < 20:
+        score *= 0.7
+    mean_len = sum(len(w) for w in words) / n
+    if mean_len < 2.0 or mean_len > 12.0:
+        score *= 0.5
+    lowered = [w.lower() for w in words]
+    stop_hits = sum(1 for w in lowered if w in STOPWORDS["en"])
+    if stop_hits == 0 and detect_lang(text) in ("en", "und"):
+        score *= 0.7
+    punct_ratio = len(_PUNCT_RE.findall(text)) / max(len(text), 1)
+    if punct_ratio > 0.25:
+        score *= 0.5
+    digit_ratio = sum(c.isdigit() for c in text) / max(len(text), 1)
+    if digit_ratio > 0.4:
+        score *= 0.5
+    counts: Dict[str, int] = {}
+    for w in lowered:
+        counts[w] = counts.get(w, 0) + 1
+    if max(counts.values()) / n > 0.2 and n >= 10:
+        score *= 0.6  # dominated by one repeated token
+    return round(score, 6)
+
+
+def count_tokens(text: str, mode: str = "whitespace") -> int:
+    """Token count: ``whitespace`` split or ``bpe``-ish regex pieces."""
+    if not text:
+        return 0
+    if mode == "whitespace":
+        return len(text.split())
+    if mode == "bpe":
+        return sum(1 for m in _BPE_RE.finditer(text) if m.group().strip())
+    raise ValueError(f"unknown token mode: {mode}")
+
+
+def _normalize_for_hash(text: str) -> str:
+    return _NORM_RE.sub(" ", text).strip().lower()
+
+
+def fingerprint64(text: str) -> int:
+    """Deterministic 64-bit content fingerprint of normalized text
+    (FNV-1a over the normalized byte stream)."""
+    h = 0xCBF29CE484222325
+    for byte in _normalize_for_hash(text).encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def word_shingles(text: str, k: int = 3) -> List[str]:
+    """Word k-gram shingles of normalized text (k-shingling, Broder 1997)."""
+    words = _normalize_for_hash(text).split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def char_ngrams(text: str, n: int = 5) -> List[str]:
+    """Character n-grams of normalized text."""
+    s = _normalize_for_hash(text)
+    if len(s) < n:
+        return [s] if s else []
+    return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    shingles: Sequence[str], num_perm: int = 64, seed: int = 1
+) -> np.ndarray:
+    """MinHash signature via universal hashing h_i(x) = (a_i*x+b_i) mod p.
+
+    Empty input yields the max-value signature (never collides with real
+    docs). Returns uint64[num_perm].
+    """
+    a, b = _perm_params(num_perm, seed)
+    if not shingles:
+        return np.full(num_perm, np.uint64(_MERSENNE), dtype=np.uint64)
+    base = np.array(
+        [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64
+    )
+    # (n_shingles, num_perm) — numpy broadcasts; mod Mersenne prime
+    prods = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return prods.min(axis=0)
+
+
+def simhash64(text: str, ngram: int = 3) -> int:
+    """64-bit SimHash over word n-gram features (Charikar 2002)."""
+    feats = word_shingles(text, ngram)
+    if not feats:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for f in feats:
+        h = fingerprint64(f)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(a: Sequence, b: Sequence) -> float:
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)

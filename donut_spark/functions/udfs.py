@@ -1,0 +1,254 @@
+"""Arrow-batched pandas UDFs over the pure kernels (SURVEY.md §2.11).
+
+Design rules:
+* every Python kernel is vectorized **across documents** via Arrow
+  batches (`pandas_udf`) — sequential only *within* one document, which
+  is inherent to the semantics (e.g. token2json's cursor, W2);
+* nothing here does per-row Python through the slow row-at-a-time UDF
+  path (`input_hint` mandate);
+* anything expressible with built-in `pyspark.sql.functions` lives in
+  `donut_spark.functions.arrays` instead and never enters Python.
+
+Signed-64-bit note: fingerprints/simhashes are exposed as Spark BIGINT
+(two's complement of the unsigned kernel value) so they group/join as
+plain longs.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core import htmlnorm, metrics, textstats, tree
+from ..sources.fixtures import SPAN_SCHEMA
+
+__all__ = [
+    "extract_spans",
+    "extract_text",
+    "clean_table",
+    "repair_table",
+    "json2token_udf",
+    "token2json_udf",
+    "roundtrip_ok_udf",
+    "nted_udf",
+    "teds_udf",
+    "teds_struct_udf",
+    "table_stats_udf",
+    "detect_lang_udf",
+    "quality_udf",
+    "token_count_udf",
+    "fingerprint_udf",
+    "simhash_udf",
+    "minhash_udf",
+]
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ---- flagship extraction ----
+
+
+@F.pandas_udf(ArrayType(SPAN_SCHEMA))
+def extract_spans(spans: pd.Series) -> pd.Series:
+    """Ordered spans → cleaned interleaved spans.
+
+    Per document: sort by ``offset`` (reading-order induction, W1),
+    strip boilerplate from text spans (T8), pass media spans through,
+    split text spans at inline media anchors, renumber offsets densely.
+    """
+    out: List[list] = []
+    for doc in spans:
+        if doc is None:
+            out.append([])
+            continue
+        ordered = sorted(doc, key=lambda s: s["offset"])
+        pieces: List[dict] = []
+        for span in ordered:
+            if span["kind"] == "media":
+                pieces.append(
+                    {"kind": "media", "text": "", "media_ref": span["media_ref"]}
+                )
+            else:
+                for kind, text, ref in htmlnorm.html_to_spans(span["text"] or ""):
+                    pieces.append({"kind": kind, "text": text, "media_ref": ref})
+        out.append(
+            [
+                {**p, "offset": i}
+                for i, p in enumerate(pieces)
+            ]
+        )
+    return pd.Series(out)
+
+
+PIECE_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(ArrayType(PIECE_SCHEMA))
+def extract_pieces(html: pd.Series) -> pd.Series:
+    """One text span's HTML → ordered clean pieces (no offsets yet).
+
+    The span-parallel path: spans are exploded, each extracted
+    independently, then reassembled relationally
+    (`operators/extract.py` mode="span"). Balances UDF compute across
+    partitions for the media-heavy document tail.
+    """
+    return html.map(
+        lambda h: [
+            {"kind": k, "text": t, "media_ref": r}
+            for k, t, r in htmlnorm.html_to_spans(h or "")
+        ]
+    )
+
+
+@F.pandas_udf(StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """HTML fragment → main-content text (T8 applied document-wide)."""
+    return html.map(lambda h: htmlnorm.extract_main_text(h or ""))
+
+
+@F.pandas_udf(StringType())
+def clean_table(html: pd.Series) -> pd.Series:
+    """`remove_tag_in_table_cell` parity (html_util.py:181-187)."""
+    return html.map(lambda h: htmlnorm.clean_table_html(h or ""))
+
+
+@F.pandas_udf(StringType())
+def repair_table(compact: pd.Series) -> pd.Series:
+    """Compact grammar → valid table HTML (teds.py:115-133)."""
+    return compact.map(lambda s: htmlnorm.repair_table_html(s or ""))
+
+
+# ---- tree linearization ----
+
+
+@F.pandas_udf(StringType())
+def json2token_udf(tree_json: pd.Series) -> pd.Series:
+    return tree_json.map(tree.json2token_str)
+
+
+@F.pandas_udf(StringType())
+def token2json_udf(tokens: pd.Series) -> pd.Series:
+    return tokens.map(tree.token2json_str)
+
+
+@F.pandas_udf(BooleanType())
+def roundtrip_ok_udf(tree_json: pd.Series) -> pd.Series:
+    return tree_json.map(tree.roundtrip_ok)
+
+
+# ---- metrics ----
+
+
+def _parse_or_empty(s):
+    try:
+        return json.loads(s) if s else {}
+    except ValueError:
+        return {}
+
+
+@F.pandas_udf(DoubleType())
+def nted_udf(pred_json: pd.Series, gold_json: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            metrics.nted_accuracy(_parse_or_empty(p), _parse_or_empty(g))
+            for p, g in zip(pred_json, gold_json)
+        ]
+    )
+
+
+@F.pandas_udf(DoubleType())
+def teds_udf(pred_html: pd.Series, true_html: pd.Series) -> pd.Series:
+    return pd.Series(
+        [metrics.teds(p or "", t or "") for p, t in zip(pred_html, true_html)]
+    )
+
+
+@F.pandas_udf(DoubleType())
+def teds_struct_udf(pred_html: pd.Series, true_html: pd.Series) -> pd.Series:
+    return pd.Series(
+        [metrics.teds_struct(p or "", t or "") for p, t in zip(pred_html, true_html)]
+    )
+
+
+TABLE_STATS_SCHEMA = StructType(
+    [
+        StructField("nums_row", IntegerType()),
+        StructField("nums_col", IntegerType()),
+        StructField("max_row_span", IntegerType()),
+        StructField("max_col_span", IntegerType()),
+        StructField("has_span", BooleanType()),
+        StructField("has_row_span", BooleanType()),
+        StructField("has_col_span", BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(TABLE_STATS_SCHEMA)
+def table_stats_udf(html: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([htmlnorm.table_stats(h or "") for h in html])
+
+
+# ---- text analysis ----
+
+
+@F.pandas_udf(StringType())
+def detect_lang_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textstats.detect_lang(t or ""))
+
+
+@F.pandas_udf(DoubleType())
+def quality_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textstats.quality_score(t or ""))
+
+
+@F.pandas_udf(IntegerType())
+def token_count_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textstats.count_tokens(t or "", "bpe")).astype("int32")
+
+
+@F.pandas_udf(LongType())
+def fingerprint_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: _signed64(textstats.fingerprint64(t or "")))
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: _signed64(textstats.simhash64(t or "")))
+
+
+def minhash_udf(num_perm: int = 64, shingle_k: int = 3, seed: int = 1):
+    """MinHash signature UDF factory (values < 2^61, safe as BIGINT)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _minhash(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda t: [
+                int(v)
+                for v in textstats.minhash_signature(
+                    textstats.word_shingles(t or "", shingle_k), num_perm, seed
+                )
+            ]
+        )
+
+    return _minhash

@@ -1,0 +1,89 @@
+"""Resumable, idempotent batch runs via a bucket commit log.
+
+Spark restatement of the reference's checkpoint-resume
+(`train.py:27-39,139`; S10 in SURVEY.md §2.1): instead of model
+weights, the unit of durability is a *bucket* of documents
+(``pmod(xxhash64(doc_id), n_buckets)``). A run
+
+1. reads the commit log (marker files under ``<out>/_commits/``),
+2. anti-filters already-committed buckets from the input,
+3. processes and writes remaining buckets partitioned by bucket id
+   (each bucket directory is written atomically by Spark's committer),
+4. appends one marker per bucket that completed.
+
+Any partition/bucket can therefore resume after a crash without
+recomputing finished work, and re-runs are no-ops. On a cluster the
+marker I/O goes through the Hadoop FS API; in this sandbox it's local
+files (same atomicity: rename-on-commit by the parquet committer, then
+marker create).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["committed_buckets", "mark_committed", "run_resumable"]
+
+_COMMITS = "_commits"
+
+
+def committed_buckets(out_path: str) -> List[int]:
+    commits_dir = os.path.join(out_path, _COMMITS)
+    if not os.path.isdir(commits_dir):
+        return []
+    return sorted(
+        int(name.split("-")[1])
+        for name in os.listdir(commits_dir)
+        if name.startswith("bucket-")
+    )
+
+
+def mark_committed(out_path: str, buckets: List[int]) -> None:
+    commits_dir = os.path.join(out_path, _COMMITS)
+    os.makedirs(commits_dir, exist_ok=True)
+    for b in buckets:
+        with open(os.path.join(commits_dir, f"bucket-{b}"), "w") as fh:
+            fh.write("done\n")
+
+
+def run_resumable(
+    spark: SparkSession,
+    input_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    out_path: str,
+    key: str = "doc_id",
+    n_buckets: int = 64,
+) -> List[int]:
+    """Run ``transform`` over all not-yet-committed buckets.
+
+    Returns the list of buckets processed this invocation. Output lands
+    under ``<out_path>/data/_bucket=<b>/``.
+    """
+    done = set(committed_buckets(out_path))
+    bucketed = input_df.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+    if done:
+        bucketed = bucketed.filter(~F.col("_bucket").isin(*done))
+
+    result = transform(bucketed)
+    if "_bucket" not in result.columns:
+        raise ValueError("transform must preserve the _bucket column")
+
+    result.write.mode("append").partitionBy("_bucket").parquet(
+        os.path.join(out_path, "data")
+    )
+
+    # buckets actually present in this run's output
+    data_dir = os.path.join(out_path, "data")
+    written = sorted(
+        int(name.split("=")[1])
+        for name in os.listdir(data_dir)
+        if name.startswith("_bucket=") and int(name.split("=")[1]) not in done
+    )
+    mark_committed(out_path, written)
+    return written

@@ -1,0 +1,199 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, each with a distinct scale profile:
+
+* :func:`exact_dup_clusters` / :func:`exact_dedup` — hash-groupBy on a
+  normalized content fingerprint; one shuffle, map-side partial agg.
+* :func:`minhash_lsh_pairs` — MinHash + banded LSH (Broder 1997; Leskovec
+  et al., MMDS ch.3): signature via one Arrow UDF, band explosion and
+  bucket self-join fully JVM-side. The self-join key is (band_index,
+  band_hash) so only same-band collisions shuffle — the standard
+  near-dup plan at 10^12 docs.
+* :func:`simhash_pairs` — Charikar 2002: 64-bit simhash, 4×16-bit chunk
+  index (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verify with
+  ``bit_count(xor)`` in SQL.
+* :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via shingle explode
+  + self-join; quadratic in cluster size, so it's the *verifier* for LSH
+  candidates, not the discovery path (the ``candidates`` arg).
+
+All thresholds/seeds are explicit so two runs (or cluster sizes) agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import fingerprint_udf, minhash_udf, simhash_udf
+
+__all__ = [
+    "exact_dup_clusters",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_dup_clusters(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: one row per
+    duplicated fingerprint with member count and the keeper (min key)."""
+    return (
+        df.withColumn("fp", fingerprint_udf(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(key).alias("keeper"),
+            F.sort_array(F.collect_list(key)).alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min key) per normalized fingerprint.
+
+    Window-free plan: groupBy(fp).min(key) then semi-join back — two
+    narrow shuffles on the same key, no sort, no skew from a global
+    window."""
+    keepers = (
+        df.withColumn("fp", fingerprint_udf(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(key).alias(key))
+        .select(key)
+    )
+    return df.join(keepers, key, "left_semi")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows = num_perm // bands hashes per band; two docs collide if any
+    band's sub-signature matches exactly. Returns distinct (a, b) with
+    a < b plus the number of colliding bands (a cheap similarity proxy;
+    exact Jaccard verification belongs to :func:`ngram_jaccard_pairs`).
+    """
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    rows = num_perm // bands
+    sig = df.select(
+        F.col(key).alias("k"),
+        minhash_udf(num_perm, shingle_k, seed)(F.col(text_col)).alias("sig"),
+    )
+    banded = sig.select(
+        "k",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(cast(b as string), "
+                f"cast(slice(sig, b * {rows} + 1, {rows}) as string)))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.k") < F.col("r.k")),
+        )
+        .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+    return pairs
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 4×16-bit chunk blocking + exact
+    hamming verify. With max_hamming ≤ 3, pigeonhole guarantees recall
+    over the 4-chunk index."""
+    sig = df.select(
+        F.col(key).alias("k"), simhash_udf(F.col(text_col)).alias("sh")
+    )
+    chunks = sig.select(
+        "k",
+        "sh",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "c -> cast(shiftright(sh, c * 16) & 65535 as int))"
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    return (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.k") < F.col("r.k")),
+        )
+        .select(
+            F.col("l.k").alias("a"),
+            F.col("r.k").alias("b"),
+            F.expr("bit_count(l.sh ^ r.sh)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs.
+
+    Plan: explode distinct shingles (JVM-side regex/split), self-join on
+    shingle, count intersections, compute |A∪B| = |A|+|B|-|A∩B|. If
+    ``candidates`` (columns a, b) is given — e.g. LSH output — the
+    shingle join is semi-joined down to those pairs first, which is the
+    only shape that survives 10^12 docs.
+    """
+    shingled = df.select(
+        F.col(key).alias("k"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(split(lower({text_col}), '\\\\s+')) - {n}, 0)), "
+                    f"i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n})))"
+                )
+            )
+        ).alias("sh"),
+    ).filter(F.col("sh") != "")
+    sizes = shingled.groupBy("k").agg(F.count("*").alias("sz"))
+
+    joined = (
+        shingled.alias("l")
+        .join(shingled.alias("r"), (F.col("l.sh") == F.col("r.sh")) & (F.col("l.k") < F.col("r.k")))
+        .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        joined = joined.join(candidates.select("a", "b"), ["a", "b"], "left_semi")
+    return (
+        joined.join(sizes.withColumnRenamed("k", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("k", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

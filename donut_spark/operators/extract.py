@@ -1,0 +1,131 @@
+"""The flagship extraction pipeline (SURVEY.md §3.1 restated, §7.6).
+
+Lineage:  spans table → cheap relational pre-filters → skew decluster →
+boilerplate-strip extraction (doc- or span-parallel) → invariant
+evaluation (span-sequence equality, json2token/token2json round-trip,
+nTED) → partitioned sink + per-partition lineage.
+
+Two physical strategies for the extraction step, selected by ``mode``:
+
+* ``doc``  — one Arrow batch row per document; zero extra shuffle; best
+  when document sizes are bounded.
+* ``span`` — ``explode`` to spans, extract each independently, reassemble
+  with ``array_sort``/``flatten``/``transform`` (all JVM-side); one
+  shuffle, but the media-heavy tail (a single 10k-span document) spreads
+  over the whole cluster instead of pinning one Python worker. This is
+  the 10^12-document plan (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import (
+    extract_pieces,
+    extract_spans,
+    json2token_udf,
+    nted_udf,
+    roundtrip_ok_udf,
+    token2json_udf,
+)
+from ..plans.skew import decluster
+from ..sources.fixtures import build_spans_table
+
+__all__ = [
+    "extract_documents",
+    "evaluate_extraction",
+    "run_flagship",
+]
+
+_RENUMBER = (
+    "transform(_flat, (p, i) -> named_struct("
+    "'kind', p.kind, 'text', p.text, 'media_ref', p.media_ref, "
+    "'offset', cast(i as int)))"
+)
+
+
+def extract_documents(spans_df: DataFrame, mode: str = "doc") -> DataFrame:
+    """Add an ``extracted`` column of cleaned spans in reading order.
+
+    Input must have (doc_id, spans). Non-empty-doc filtering happens
+    here (F-family predicate, pushed to the scan by Catalyst since it
+    precedes any UDF).
+    """
+    df = spans_df.filter(F.size("spans") > 0)
+
+    if mode == "doc":
+        return decluster(df).withColumn("extracted", extract_spans("spans"))
+
+    if mode != "span":
+        raise ValueError(f"unknown mode: {mode}")
+
+    exploded = df.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.when(
+            F.col("s.kind") == "media",
+            F.array(
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit("").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                )
+            ),
+        )
+        .otherwise(extract_pieces(F.col("s.text")))
+        .alias("pieces"),
+    )
+    reassembled = (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("offset", "pieces")).alias("_parts")
+        )
+        .withColumn("_flat", F.expr("flatten(transform(array_sort(_parts), p -> p.pieces))"))
+        .withColumn("extracted", F.expr(_RENUMBER))
+        .drop("_parts", "_flat")
+    )
+    # reattach original columns (expected, gt_parse, spans) for evaluation
+    return spans_df.join(reassembled, "doc_id", "inner")
+
+
+def evaluate_extraction(df: DataFrame) -> DataFrame:
+    """Per-row invariant columns: exact span-sequence match vs expected,
+    round-trip validity, and nTED of the round-tripped gt_parse.
+
+    ``exact_match`` compares (kind, text, media_ref, order) — offsets are
+    dense on both sides, so array equality is exactly the reference's
+    per-document span-sequence equality.
+    """
+    out = df
+    if "expected" in df.columns:
+        out = out.withColumn(
+            "exact_match", (F.col("extracted") == F.col("expected")).cast("int")
+        )
+    if "gt_parse" in df.columns:
+        out = (
+            out.withColumn("token_seq", json2token_udf("gt_parse"))
+            .withColumn("pred_parse", token2json_udf("token_seq"))
+            .withColumn("roundtrip_ok", roundtrip_ok_udf("gt_parse").cast("int"))
+            .withColumn("nted", nted_udf("pred_parse", "gt_parse"))
+        )
+    return out
+
+
+def run_flagship(
+    spark: SparkSession,
+    sf_dir: str,
+    mode: str = "doc",
+    limit: int | None = None,
+) -> DataFrame:
+    """End-to-end: synthesize spans table → extract → evaluate.
+
+    Returns one row per document with extraction + invariant columns;
+    aggregate with ``df.agg(avg("exact_match"), avg("roundtrip_ok"),
+    avg("nted"))`` for the corpus-level metrics (A1/A2 analogues).
+    """
+    spans = build_spans_table(spark, sf_dir, limit=limit)
+    extracted = extract_documents(spans, mode=mode)
+    return evaluate_extraction(extracted)

@@ -1,0 +1,59 @@
+"""Skew handling for UDF *compute* cost (SURVEY.md §4.1).
+
+AQE's skew-join splitting balances shuffle **bytes**; it cannot see that
+one document costs 100× more Python time inside a pandas UDF. Two
+explicit strategies:
+
+* :func:`decluster` — hash-repartition on ``doc_id`` so media-heavy
+  documents that arrive clustered (e.g. a crawl ordered by site) spread
+  uniformly over partitions; cheap, no per-row weights.
+* :func:`salt_heavy` — bucket rows by a weight expression (e.g.
+  ``size(spans)``) and give the heavy tail extra salt values, so a
+  single hot bucket fans out over many partitions. Used before wide
+  groupBys keyed on skewed values.
+
+At 10^12 documents the doc-level UDF is the unit of work, so the span
+pipeline also offers span-level parallelism (`operators/extract.py`
+``mode="span"``) where the heavy tail parallelizes *within* a document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["decluster", "salt_heavy", "with_weight_bucket"]
+
+
+def decluster(df: DataFrame, key: str = "doc_id", num_partitions: int | None = None) -> DataFrame:
+    """Uniformly spread rows by hashing a high-cardinality key, breaking
+    any input-order clustering of expensive documents."""
+    if num_partitions:
+        return df.repartition(num_partitions, F.col(key))
+    return df.repartition(F.col(key))
+
+
+def with_weight_bucket(df: DataFrame, weight: Column, heavy_threshold: int = 48) -> DataFrame:
+    """Tag rows with a boolean heavy flag from a weight expression."""
+    return df.withColumn("_heavy", weight >= F.lit(heavy_threshold))
+
+
+def salt_heavy(
+    df: DataFrame,
+    key: str,
+    row_col: str,
+    weight: Column,
+    heavy_threshold: int = 48,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Add a deterministic ``_salt`` column: 0 for light rows,
+    0..salt_buckets-1 for heavy rows (derived from a row-distinguishing
+    column, e.g. span ``offset``) — group on ``(key, _salt)``, merge
+    partials second: the classic two-phase skewed aggregation."""
+    return df.withColumn(
+        "_salt",
+        F.when(
+            weight >= F.lit(heavy_threshold),
+            F.pmod(F.xxhash64(F.col(key), F.col(row_col)), F.lit(salt_buckets)),
+        ).otherwise(F.lit(0)),
+    )

@@ -1,0 +1,220 @@
+"""Deterministic synthesis of the interleaved text+media documents table.
+
+The engine's flagship input (BASELINE.json ``input_hint``) is
+``(doc_id string, spans array<struct<kind,text,media_ref,offset:int>>)``.
+The sandbox's driver tables don't carry that shape, so this module
+derives it deterministically from the flat ``documents`` text table
+(seeded per doc_id) — the Spark-native restatement of the reference's
+SynthDoG generator (`synthdog/template.py:46-78`, layouts
+`synthdog/layouts/grid.py:18-68`): sample a layout, fill boxes with
+corpus text, and record ground truth as the generation order.
+
+Each document also carries an analytically-derived *expected* output
+(clean spans in reading order) and a ``gt_parse`` JSON tree, making the
+per-row invariant — span-sequence equality on (kind, text, media_ref,
+order) — testable without circularity: the expectation is computed from
+the template algebra below, never by running the extraction kernel.
+
+Key properties:
+* offsets are a seeded permutation — stored span order is shuffled, so
+  reading-order recovery (`array_sort` on offset) is really exercised
+  (mirrors the layout-order label join `synthdog/template.py:66-68`);
+* ~10% of docs are media-heavy (>= 48 spans) — the skew tail that the
+  salting plan (SURVEY.md §4.1) must absorb;
+* all randomness is `random.Random(crc32(doc_id))` — byte-identical
+  output at any parallelism level or cluster size.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import zlib
+from typing import Iterator, List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "SPAN_SCHEMA",
+    "SPANS_TABLE_SCHEMA",
+    "synth_doc",
+    "build_spans_table",
+]
+
+SPAN_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+SPANS_TABLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_SCHEMA)),
+        StructField("expected", ArrayType(SPAN_SCHEMA)),
+        StructField("gt_parse", StringType()),
+    ]
+)
+
+_ROMAN_LOWER = 8560  # ⅰ
+_ROMAN_UPPER = 8544  # Ⅰ
+
+
+def _marker(ol_type: str, idx: int) -> str:
+    if ol_type == "a":
+        return chr(97 + idx)
+    if ol_type == "A":
+        return chr(65 + idx)
+    if ol_type == "i":
+        return chr(_ROMAN_LOWER + idx)
+    if ol_type == "I":
+        return chr(_ROMAN_UPPER + idx)
+    return str(idx + 1)
+
+
+def _wrap_chunk(rng: random.Random, words: List[str]) -> Tuple[str, str]:
+    """Wrap clean words into boilerplate HTML; return (html, expected_text).
+
+    The expected text is derived from the template algebra (block tags
+    contribute their text; list items gain markers; cells join with
+    spaces) — independent of the extraction kernel.
+    """
+    text = " ".join(words)
+    template = rng.randrange(8)
+    if template == 0 or len(words) < 2:
+        return text, text
+    if template == 1:
+        return f"<p>{text}</p>", text
+    if template == 2:
+        return f'<div class="c{rng.randrange(9)}"><b>{words[0]}</b> {" ".join(words[1:])}</div>', text
+    if template == 3:
+        level = rng.randrange(1, 7)
+        return f"<h{level}>{text}</h{level}>", text
+    if template == 4:
+        cut = rng.randrange(1, len(words))
+        a, b = " ".join(words[:cut]), " ".join(words[cut:])
+        return f"{a}<br>{b}", f"{a} {b}"
+    if template == 5:
+        cut = rng.randrange(1, len(words))
+        a, b = " ".join(words[:cut]), " ".join(words[cut:])
+        html = (
+            f'<table border="1"><tr><td class="x">{a}</td>'
+            f"<td>{b}</td></tr></table>"
+        )
+        return html, f"{a} {b}"
+    if template == 6:
+        ol_type = rng.choice(["1", "a", "A", "i", "I"])
+        cut = max(1, len(words) // 2)
+        items = [" ".join(words[:cut]), " ".join(words[cut:])]
+        html = f'<ol type="{ol_type}">' + "".join(
+            f"<li>{it}</li>" for it in items
+        ) + "</ol>"
+        expected = " ".join(
+            f"{_marker(ol_type, i)}. {it}" for i, it in enumerate(items)
+        )
+        return html, expected
+    # template == 7: unordered list
+    cut = max(1, len(words) // 2)
+    items = [" ".join(words[:cut]), " ".join(words[cut:])]
+    html = "<ul>" + "".join(f"<li>{it}</li>" for it in items) + "</ul>"
+    expected = " ".join(f"• {it}" for it in items)
+    return html, expected
+
+
+def synth_doc(doc_id: str, corpus_text: str) -> Tuple[list, list, str]:
+    """Build one document: (shuffled spans, expected spans, gt_parse json).
+
+    Deterministic in (doc_id, corpus_text) only.
+    """
+    rng = random.Random(zlib.crc32(doc_id.encode("utf-8")))
+    words = corpus_text.split() or ["empty"]
+
+    heavy = rng.random() < 0.10
+    n_text = rng.randint(24, 40) if heavy else rng.randint(1, 8)
+    n_media = rng.randint(24, 40) if heavy else rng.randint(0, 3)
+
+    raw_spans: List[Tuple[str, str, str]] = []   # generation (reading) order
+    expected: List[Tuple[str, str, str]] = []
+    for i in range(n_text):
+        k = rng.randint(1, min(12, len(words)))
+        start = rng.randrange(len(words))
+        chunk = [words[(start + j) % len(words)] for j in range(k)]
+        html, clean = _wrap_chunk(rng, chunk)
+        raw_spans.append(("text", html, ""))
+        expected.append(("text", clean, ""))
+    media_positions = sorted(
+        rng.randrange(n_text + 1) for _ in range(n_media)
+    )
+    for j, pos in enumerate(reversed(media_positions)):
+        ref = f"img_{doc_id}_{n_media - 1 - j}"
+        raw_spans.insert(pos, ("media", "", ref))
+        expected.insert(pos, ("media", "", ref))
+
+    # reading order == generation order; store shuffled with offset labels
+    order = list(range(len(raw_spans)))
+    rng.shuffle(order)
+    spans = [
+        {
+            "kind": raw_spans[i][0],
+            "text": raw_spans[i][1],
+            "media_ref": raw_spans[i][2],
+            "offset": i,
+        }
+        for i in order
+    ]
+    expected_rows = [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (k, t, m) in enumerate(expected)
+    ]
+
+    gt_parse = {
+        "doc": {
+            "title": " ".join(words[:3]),
+            "items": [
+                {"nm": words[(7 * i) % len(words)], "cnt": str(rng.randint(1, 9))}
+                for i in range(rng.randint(1, 4))
+            ],
+        }
+    }
+    return spans, expected_rows, json.dumps(gt_parse, ensure_ascii=False, sort_keys=True)
+
+
+def build_spans_table(
+    spark: SparkSession, sf_dir: str, limit: int | None = None
+) -> DataFrame:
+    """documents(text table) → interleaved spans table, distributed.
+
+    Uses `mapInPandas` (iterator form, Arrow-batched) so generation is
+    per-partition and memory-bounded; determinism comes from per-doc
+    seeds, never partition layout.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    if limit:
+        docs = docs.limit(limit)
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                spans, expected, gt = synth_doc(str(doc_id), text or "")
+                rows.append((str(doc_id), spans, expected, gt))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "spans", "expected", "gt_parse"]
+            )
+
+    return docs.mapInPandas(gen, schema=SPANS_TABLE_SCHEMA)

@@ -1,0 +1,161 @@
+"""End-to-end pipeline tests: fixture synthesis, both extraction modes,
+invariants, lineage, checkpoint resume, streaming, multimodal."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from donut_spark.operators.extract import (
+    evaluate_extraction,
+    extract_documents,
+    run_flagship,
+)
+from donut_spark.sources.fixtures import build_spans_table, synth_doc
+from tests.conftest import SF_SMALL
+
+
+def test_synth_doc_deterministic():
+    a = synth_doc("doc_1", "alpha beta gamma delta epsilon")
+    b = synth_doc("doc_1", "alpha beta gamma delta epsilon")
+    assert a == b
+    c = synth_doc("doc_2", "alpha beta gamma delta epsilon")
+    assert c != a
+
+
+def test_synth_doc_offsets_are_permutation():
+    spans, expected, _ = synth_doc("doc_7", "one two three four five six")
+    offs = sorted(s["offset"] for s in spans)
+    assert offs == list(range(len(spans)))
+    assert [e["offset"] for e in expected] == list(range(len(expected)))
+
+
+def test_spans_table_schema(spark):
+    df = build_spans_table(spark, SF_SMALL, limit=10)
+    assert df.columns == ["doc_id", "spans", "expected", "gt_parse"]
+    row = df.first()
+    assert row.spans[0].kind in ("text", "media")
+
+
+def test_flagship_invariants_doc_mode(spark):
+    df = run_flagship(spark, SF_SMALL, mode="doc", limit=120)
+    agg = df.agg(
+        F.avg("exact_match").alias("em"),
+        F.avg("roundtrip_ok").alias("rt"),
+        F.avg("nted").alias("nted"),
+        F.count("*").alias("n"),
+    ).first()
+    assert agg.n == 120
+    assert agg.em == 1.0
+    assert agg.rt == 1.0
+    assert agg.nted == 1.0
+
+
+def test_span_mode_matches_doc_mode(spark):
+    spans = build_spans_table(spark, SF_SMALL, limit=80)
+    doc = extract_documents(spans, mode="doc").select("doc_id", "extracted")
+    span = extract_documents(spans, mode="span").select("doc_id", "extracted")
+    joined = doc.alias("d").join(span.alias("s"), "doc_id")
+    n_diff = joined.filter(F.col("d.extracted") != F.col("s.extracted")).count()
+    assert n_diff == 0
+
+
+def test_media_heavy_tail_exists(spark):
+    df = build_spans_table(spark, SF_SMALL)
+    heavy = df.filter(F.size("spans") >= 48).count()
+    total = df.count()
+    assert 0.03 * total < heavy < 0.25 * total
+
+
+def test_lineage_metrics(spark):
+    from donut_spark.plans.lineage import lineage_metrics
+
+    df = run_flagship(spark, SF_SMALL, mode="doc", limit=50)
+    lm = lineage_metrics(df).collect()
+    assert sum(r.n_docs for r in lm) == 50
+    assert all(r.checksum is not None for r in lm)
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from donut_spark.operators.checkpoint import committed_buckets, run_resumable
+
+    out = str(tmp_path / "ckpt_out")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        F.col("doc_id").cast("string"), "text"
+    )
+
+    def transform(df):
+        return df.withColumn("n", F.length("text"))
+
+    first = run_resumable(spark, docs, transform, out, n_buckets=8)
+    assert len(first) == 8
+    # second run is a no-op
+    second = run_resumable(spark, docs, transform, out, n_buckets=8)
+    assert second == []
+    assert committed_buckets(out) == list(range(8))
+    # all rows present exactly once
+    written = spark.read.parquet(os.path.join(out, "data"))
+    assert written.count() == docs.count()
+
+
+def test_quarantine_split(spark):
+    from donut_spark.plans.lineage import quarantine_split
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", "boom")], ["doc_id", "_error"]
+    )
+    good, bad = quarantine_split(df)
+    assert good.columns == ["doc_id"]
+    assert [r.doc_id for r in good.collect()] == ["a"]
+    assert [r.doc_id for r in bad.collect()] == ["b"]
+
+
+def test_streaming_extraction(spark, tmp_path):
+    """Micro-batch streaming twin produces the same rows as batch."""
+    from donut_spark.streaming.stream import stream_extract_from_files
+
+    src = str(tmp_path / "stream_src")
+    sink = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "stream_ckpt")
+    batch = build_spans_table(spark, SF_SMALL, limit=40)
+    batch.write.parquet(src)
+
+    q = (
+        stream_extract_from_files(spark, src, max_files_per_trigger=2)
+        .select("doc_id", "extracted")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 40
+
+
+def test_multimodal_plumbing(spark):
+    from donut_spark.operators.multimodal import (
+        decode_and_featurize,
+        join_spans_with_media,
+        synth_media_table,
+    )
+
+    spans = build_spans_table(spark, SF_SMALL, limit=60)
+    media = synth_media_table(spark, spans)
+    n_refs = media.count()
+    assert n_refs > 0
+    assert media.select("media_ref").distinct().count() == n_refs
+
+    feats = decode_and_featurize(media, feat_dim=8)
+    row = feats.first()
+    assert len(row.features) == 8
+    assert feats.count() == n_refs
+    # determinism of the fake featurizer
+    row2 = decode_and_featurize(media, feat_dim=8).filter(
+        F.col("media_ref") == row.media_ref
+    ).first()
+    assert row2.features == row.features
+
+    joined = join_spans_with_media(spans, media)
+    assert joined.filter(F.col("meta").isNull()).count() == 0

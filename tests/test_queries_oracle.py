@@ -1,0 +1,77 @@
+"""Local replica of the driver's correctness gate: every oracle-backed
+query in __spark_entry__ runs on Spark and DuckDB at sf0.001 and must
+match on row count, sorted-column schema, and values."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMALL
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _compare(sdf: pd.DataFrame, odf: pd.DataFrame, name: str):
+    assert sorted(sdf.columns) == sorted(odf.columns), f"{name}: schema mismatch"
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
+    a, b = _canon(sdf), _canon(odf)
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) or isinstance(y, float):
+                ok = (
+                    (pd.isna(x) and pd.isna(y))
+                    or math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9)
+                )
+            else:
+                ok = x == y
+            assert ok, f"{name}: col {col} row {i}: spark={x!r} oracle={y!r}"
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_parity(spark, oracle_con, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_SMALL).toPandas()
+    odf = oracle_con.execute(entry_mod.oracle_sql()[name]).df()
+    _compare(sdf, odf, name)
+
+
+def test_every_oracle_key_has_query():
+    qs = entry_mod.queries()
+    for k in entry_mod.oracle_sql():
+        assert k in qs
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "doc_id", "n_spans_in", "n_spans_out", "exact_match",
+        "roundtrip_ok", "nted",
+    }

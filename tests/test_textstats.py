@@ -1,0 +1,84 @@
+"""Unit tests for the text-analysis kernels."""
+
+import numpy as np
+
+from donut_spark.core.textstats import (
+    char_ngrams,
+    count_tokens,
+    detect_lang,
+    fingerprint64,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    simhash64,
+    word_shingles,
+)
+
+
+def test_detect_lang_cjk():
+    assert detect_lang("안녕하세요 세계 여러분") == "ko"
+    assert detect_lang("これはテストです") == "ja"
+    assert detect_lang("这是一个测试文档") == "zh"
+
+
+def test_detect_lang_latin():
+    assert detect_lang("the quick brown fox is on the hill and it was there") == "en"
+    assert detect_lang("el perro y el gato en la casa de su madre no era para") == "es"
+    assert detect_lang("xyzzy qwerty plugh") == "und"
+    assert detect_lang("") == "und"
+
+
+def test_count_tokens():
+    assert count_tokens("a b  c") == 3
+    assert count_tokens("") == 0
+    assert count_tokens("don't stop", "bpe") >= 3  # don / 't / stop
+    assert count_tokens("abc123 def", "bpe") == 3
+
+
+def test_fingerprint_normalization():
+    assert fingerprint64("Hello,  World!") == fingerprint64("hello world")
+    assert fingerprint64("a") != fingerprint64("b")
+
+
+def test_shingles():
+    assert word_shingles("a b c d", 3) == ["a b c", "b c d"]
+    assert word_shingles("a b", 3) == ["a b"]
+    assert word_shingles("", 3) == []
+    assert char_ngrams("abcd", 3) == ["abc", "bcd"]
+
+
+def test_minhash_similar_docs_agree_more():
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = a.replace("lazy", "sleepy")
+    c = "completely different content about spark partitions and shuffles"
+    sa = minhash_signature(word_shingles(a), 128)
+    sb = minhash_signature(word_shingles(b), 128)
+    sc = minhash_signature(word_shingles(c), 128)
+    sim_ab = np.mean(sa == sb)
+    sim_ac = np.mean(sa == sc)
+    assert sim_ab > sim_ac
+    assert sim_ab > 0.4
+    # determinism
+    assert np.array_equal(sa, minhash_signature(word_shingles(a), 128))
+
+
+def test_minhash_empty():
+    sig = minhash_signature([], 16)
+    assert len(sig) == 16
+    assert len(set(sig.tolist())) == 1
+
+
+def test_simhash_locality():
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    b = a + " okay"
+    c = "orthogonal subject matter entirely unrelated to anything above xyz"
+    assert hamming64(simhash64(a), simhash64(b)) < hamming64(
+        simhash64(a), simhash64(c)
+    )
+    assert simhash64(a) == simhash64(a)
+
+
+def test_jaccard():
+    assert jaccard(["a", "b"], ["a", "b"]) == 1.0
+    assert jaccard(["a"], ["b"]) == 0.0
+    assert jaccard([], []) == 1.0
