@@ -277,9 +277,130 @@ def _unit_query_vec(dim: int):
     return [round(math.sin(i + 1), 6) for i in range(dim)]
 
 
+def q31_strip_tags(spark, sf):
+    """T6: tag-strip regex chain (test.py:28-32) as pure SQL."""
+    d = _sf(sf)(spark, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><br>")),
+            "<.*?>",
+            "",
+        ).alias("stripped"),
+    )
+
+
+def q32_running_sum(spark, sf):
+    """W3: cumulative ordered computation (grid.py:54-55 analogue)."""
+    from pyspark.sql import Window
+
+    e = _sf(sf)(spark, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("run_sum", F.sum("value").over(w))
+        .filter(F.col("run_sum") > 500)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_over"))
+    )
+
+
+def q33_rollup(spark, sf):
+    """Grouping sets (SURVEY.md §2.4 'free via rollup')."""
+    t = _sf(sf)(spark, "lineitem")
+    return (
+        t.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q34_case_bands(spark, sf):
+    """Constant-folded CASE bucketing (A8 variant)."""
+    o = _sf(sf)(spark, "orders")
+    return (
+        o.withColumn(
+            "band",
+            F.when(F.col("o_totalprice") < 50_000, "low")
+            .when(F.col("o_totalprice") < 150_000, "mid")
+            .otherwise("high"),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+def q35_string_funcs(spark, sf):
+    """Scalar string-function chain (T5/T9 regex-chain analogue)."""
+    p = _sf(sf)(spark, "part")
+    return (
+        p.withColumn("token", F.upper(F.substring("p_name", 1, 3)))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.length("p_name")), 4).alias("avg_len"),
+        )
+    )
+
+
+def q39_resume_antifilter(spark, sf):
+    """F9/§7 resume shape: exclude committed buckets relationally."""
+    d = _sf(sf)(spark, "documents")
+    return (
+        d.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(16)).cast("long"))
+        .filter(~F.col("bucket").isin(0, 3, 7))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Kernel queries (non-SQL-expressible → rows-only checks)
 # ---------------------------------------------------------------------------
+
+
+def q36_span_hof(spark, sf):
+    """F5/A7: span-array predicates via JVM higher-order functions only
+    (no Python): media ratio, empty-text counts, max offset."""
+    from donut_spark.sources.fixtures import build_spans_table
+
+    spans = build_spans_table(spark, sf, limit=200)
+    return spans.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.size(F.expr("filter(spans, s -> s.kind = 'media')")).alias("n_media"),
+        F.round(
+            F.size(F.expr("filter(spans, s -> s.kind = 'media')"))
+            / F.size("spans"),
+            6,
+        ).alias("media_ratio"),
+        F.expr("aggregate(spans, 0, (acc, s) -> acc + length(s.text))").alias(
+            "total_chars"
+        ),
+        F.expr("array_max(transform(spans, s -> s.offset))").alias("max_offset"),
+    )
+
+
+def q38_teds_pairs(spark, sf):
+    """E4: TEDS on perturbed table pairs (non-identical scores)."""
+    from donut_spark.functions.udfs import repair_table, teds_struct_udf, teds_udf
+
+    rows = [
+        ("same", "<tr><td>a<td>b", "<tr><td>a<td>b"),
+        ("cell_edit", "<tr><td>a<td>b", "<tr><td>a<td>x"),
+        ("extra_row", "<tr><td>a<td>b", "<tr><td>a<td>b<tr><td>c<td>d"),
+        ("span_change", '<tr><tdcolspan="2"> a<td>b', "<tr><td>a<td>b<td>c"),
+    ]
+    df = spark.createDataFrame(rows, ["pair_id", "pred_c", "gt_c"])
+    return df.select(
+        "pair_id",
+        F.round(teds_udf(repair_table("pred_c"), repair_table("gt_c")), 6).alias("teds"),
+        F.round(
+            teds_struct_udf(repair_table("pred_c"), repair_table("gt_c")), 6
+        ).alias("teds_struct"),
+    )
 
 
 def q21_flagship_metrics(spark, sf):
@@ -446,6 +567,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_ann_lsh": q28_ann_lsh,
         "q29_multimodal": q29_multimodal,
         "q30_table_ops": q30_table_ops,
+        "q31_strip_tags": q31_strip_tags,
+        "q32_running_sum": q32_running_sum,
+        "q33_rollup": q33_rollup,
+        "q34_case_bands": q34_case_bands,
+        "q35_string_funcs": q35_string_funcs,
+        "q36_span_hof": q36_span_hof,
+        "q38_teds_pairs": q38_teds_pairs,
+        "q39_resume_antifilter": q39_resume_antifilter,
     }
 
 
@@ -564,6 +693,45 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM embeddings WHERE vec_id < 50
         """,
-        # q21..q30: extraction/dedup/ANN/multimodal kernels — not
-        # SQL-expressible; driver records rows-only checks.
+        "q31_strip_tags": """
+            SELECT doc_id,
+                   regexp_replace('<p>' || text || '</p><br>', '<.*?>', '', 'g')
+                       AS stripped
+            FROM documents
+        """,
+        "q32_running_sum": """
+            SELECT user_id, count(*) AS n_over FROM (
+                SELECT user_id,
+                       sum(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS run_sum
+                FROM events) WHERE run_sum > 500
+            GROUP BY user_id
+        """,
+        "q33_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q34_case_bands": """
+            SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                        WHEN o_totalprice < 150000 THEN 'mid'
+                        ELSE 'high' END AS band,
+                   count(*) AS n,
+                   round(avg(o_totalprice), 2) AS avg_price
+            FROM orders GROUP BY 1
+        """,
+        "q35_string_funcs": """
+            SELECT upper(substring(p_name, 1, 3)) AS token, count(*) AS n,
+                   round(avg(length(p_name)), 4) AS avg_len
+            FROM part GROUP BY 1
+        """,
+        "q39_resume_antifilter": """
+            SELECT doc_id % 16 AS bucket, count(*) AS n_docs
+            FROM documents WHERE doc_id % 16 NOT IN (0, 3, 7)
+            GROUP BY 1
+        """,
+        # q21..q30, q36, q38: extraction/dedup/ANN/multimodal/span-HOF
+        # kernels — not SQL-expressible; driver records rows-only checks.
     }

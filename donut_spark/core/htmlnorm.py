@@ -159,6 +159,28 @@ def _ol_marker(ol_type: str, idx: int) -> str:
     return chr(base + idx)
 
 
+def _index(root: HNode, tags) -> tuple:
+    """Single pre-order traversal → ({tag: [nodes]}, {id(node): parent}).
+
+    Mutation-sensitive: callers re-index after structural changes, at
+    the same points the reference's repeated ``find_all`` calls would
+    observe them (bs4 re-queries the live tree per pass)."""
+    wanted = set(tags)
+    by_tag: dict = {t: [] for t in wanted}
+    parent: dict = {}
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if node.tag in wanted:
+            by_tag[node.tag].append(node)
+        kids = node.children
+        if kids:
+            for c in kids:
+                parent[id(c)] = node
+            stack.extend(reversed(kids))
+    return by_tag, parent
+
+
 def normalize_dom(root: HNode, remove_img_tag: bool = False) -> HNode:
     """Apply the reference's boilerplate-normalization passes in order.
 
@@ -166,9 +188,12 @@ def normalize_dom(root: HNode, remove_img_tag: bool = False) -> HNode:
     `html_util.py:116-179`: block-tag spacing → ol markers → ul bullets →
     br → table-attr clearing → td flattening/attr pruning.
     """
+    by_tag, parents = _index(root, BLOCK_TAGS + ("ol", "ul"))
+
     # 1. block tags: pad with spaces; wrap direct text children in spaces
+    # (text-only mutation — the index stays valid)
     for name in BLOCK_TAGS:
-        for tag in root.find_all(name):
+        for tag in by_tag[name]:
             tag.insert_text(0, " ")
             tag.append_text(" ")
             for child in list(tag.children):
@@ -176,38 +201,45 @@ def normalize_dom(root: HNode, remove_img_tag: bool = False) -> HNode:
                     child.data = f" {child.data} "
 
     # 2. ordered lists: li → " N. text "
-    for ol in root.find_all("ol"):
+    for ol in by_tag["ol"]:
         ol_type = ol.attrs.get("type")
         if ol_type not in _OL_MARKER_BASES:
             ol_type = "1"
         for idx, li in enumerate(list(ol.find_all("li"))):
-            li.replace_with_text(root, f" {_ol_marker(ol_type, idx)}. {li.text} ")
+            li.replace_with_text(ol, f" {_ol_marker(ol_type, idx)}. {li.text} ")
 
-    # 3. unordered lists: li → " • text "
-    for ul in root.find_all("ul"):
+    # 3. unordered lists: li → " • text " (re-query when ol mutations may
+    # have detached nested uls — mirrors bs4's live re-query)
+    uls = root.find_all("ul") if by_tag["ol"] and by_tag["ul"] else by_tag["ul"]
+    for ul in uls:
         for li in list(ul.find_all("li")):
-            li.replace_with_text(root, f" • {li.text} ")
+            li.replace_with_text(ul, f" • {li.text} ")
+
+    # fresh index after list replacements detached nodes
+    by_tag, parents = _index(root, _NEWLINE_TAGS + _TABLE_TAGS + ("td",))
 
     # 4. line breaks → space
     for name in _NEWLINE_TAGS:
-        for tag in list(root.find_all(name)):
-            tag.replace_with_text(root, " ")
+        for tag in by_tag[name]:
+            p = parents.get(id(tag))
+            if p is not None:
+                p.replace_child(tag, HNode(None, data=" "))
 
     # 5. structural table tags lose all attributes
     for name in _TABLE_TAGS:
-        for tag in root.find_all(name):
+        for tag in by_tag[name]:
             tag.attrs = {}
 
     # 6. table cells: flatten to text (img → sentinel → <img>), prune attrs
-    for td in root.find_all("td"):
+    for td in by_tag["td"]:
         imgs = td.find_all("img")
         if remove_img_tag:
             for img in imgs:
-                img.replace_with_text(root, " ")
+                img.replace_with_text(td, " ")
             text = td.text
         else:
             for img in imgs:
-                img.replace_with_text(root, _IMG_SENTINEL)
+                img.replace_with_text(td, _IMG_SENTINEL)
             text = td.text
             if imgs:
                 text = _SENTINEL_RE.sub("<img>", text)

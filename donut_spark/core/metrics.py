@@ -78,13 +78,20 @@ def _nted_distance(a: Node, b: Node) -> float:
 
 def nted_accuracy(pred: Any, gold: Any) -> float:
     """nTED-based accuracy between two parse trees (dicts/lists)."""
-    pred_tree = build_parse_tree(normalize_tree(pred))
-    gold_tree = build_parse_tree(normalize_tree(gold))
+    norm_pred = normalize_tree(pred)
+    norm_gold = normalize_tree(gold)
+    if norm_pred == norm_gold:
+        # exact fast path: update cost is 0 only for equal labels, so
+        # TED(t, t) == 0 and the score is exactly 1 — skip the O(n^2) DP
+        # for the (common) perfect-prediction case
+        return 1.0
+    pred_tree = build_parse_tree(norm_pred)
+    gold_tree = build_parse_tree(norm_gold)
     empty_tree = build_parse_tree(normalize_tree({}))
     denom = _nted_distance(empty_tree, gold_tree)
     if denom == 0:
-        # gold normalizes to {} — identical pred scores 1, anything else 0
-        return 1.0 if _nted_distance(pred_tree, gold_tree) == 0 else 0.0
+        # gold normalizes to {} and pred differs → score 0
+        return 0.0
     return max(0.0, 1.0 - _nted_distance(pred_tree, gold_tree) / denom)
 
 

@@ -39,24 +39,44 @@ class HNode:
     def is_text(self) -> bool:
         return self.tag is None
 
+    def collect(self) -> List["HNode"]:
+        """Pre-order document-order list including self (iterative)."""
+        out: List["HNode"] = []
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            out.append(node)
+            if node.children:
+                stack.extend(reversed(node.children))
+        return out
+
     def iter(self) -> Iterator["HNode"]:
         """Pre-order document-order traversal including self."""
-        yield self
-        for child in list(self.children):
-            yield from child.iter()
+        return iter(self.collect())
 
     def find_all(self, tag: str) -> List["HNode"]:
-        return [n for n in self.iter() if n.tag == tag]
+        return [n for n in self.collect() if n.tag == tag]
+
+    def index_tags(self, tags) -> dict:
+        """One traversal → {tag: [nodes in document order]} for the
+        requested tag names. The hot-path alternative to N find_all
+        scans; callers must re-index after structural mutations."""
+        wanted = set(tags)
+        out: dict = {t: [] for t in wanted}
+        for n in self.collect():
+            if n.tag in wanted:
+                out[n.tag].append(n)
+        return out
 
     def descendant_elements(self) -> List["HNode"]:
-        return [n for n in self.iter() if n is not self and not n.is_text]
+        return [n for n in self.collect() if n is not self and not n.is_text]
 
     @property
     def text(self) -> str:
         """Concatenated text of all descendant text nodes (bs4 ``.text``)."""
         if self.is_text:
             return self.data
-        return "".join(n.data for n in self.iter() if n.is_text)
+        return "".join(n.data for n in self.collect() if n.is_text)
 
     # -- mutation ------------------------------------------------------
 
@@ -80,7 +100,7 @@ class HNode:
             parent.replace_child(self, HNode(None, data=text))
 
     def find_parent(self, target: "HNode") -> Optional["HNode"]:
-        for node in self.iter():
+        for node in self.collect():
             if not node.is_text and any(c is target for c in node.children):
                 return node
         return None

@@ -45,17 +45,24 @@ _RENUMBER = (
 )
 
 
-def extract_documents(spans_df: DataFrame, mode: str = "doc") -> DataFrame:
+def extract_documents(
+    spans_df: DataFrame, mode: str = "doc", decluster_input: bool = False
+) -> DataFrame:
     """Add an ``extracted`` column of cleaned spans in reading order.
 
     Input must have (doc_id, spans). Non-empty-doc filtering happens
     here (F-family predicate, pushed to the scan by Catalyst since it
-    precedes any UDF).
+    precedes any UDF). Set ``decluster_input`` when the source is
+    clustered by document weight (e.g. a crawl ordered by site) — it
+    buys uniform UDF load for one extra shuffle; leave it off when the
+    upstream already hash-distributed (e.g. fixture synthesis).
     """
     df = spans_df.filter(F.size("spans") > 0)
 
     if mode == "doc":
-        return decluster(df).withColumn("extracted", extract_spans("spans"))
+        if decluster_input:
+            df = decluster(df)
+        return df.withColumn("extracted", extract_spans(F.col("spans")))
 
     if mode != "span":
         raise ValueError(f"unknown mode: {mode}")
@@ -114,6 +121,41 @@ def evaluate_extraction(df: DataFrame) -> DataFrame:
     return out
 
 
+def extract_and_evaluate(spans_df: DataFrame, decluster_input: bool = False) -> DataFrame:
+    """Fused flagship path: extraction + round-trip + nTED in ONE
+    pandas-UDF node (see ``_extract_eval_fused``), exact-match compare
+    JVM-side. Semantically identical to ``evaluate_extraction(
+    extract_documents(df, "doc"))`` but with half the Python workers and
+    Arrow hops per task — the plan that survives wide parallelism.
+    """
+    from pyspark.sql.types import ArrayType
+
+    from ..functions.udfs import _extract_eval_fused
+    from ..sources.fixtures import SPAN_SCHEMA
+
+    df = spans_df.filter(F.size("spans") > 0)
+    if decluster_input:
+        df = decluster(df)
+    df = df.withColumn(
+        "_ev", _extract_eval_fused(F.to_json("spans"), F.col("gt_parse"))
+    ).withColumn(
+        "extracted", F.from_json(F.col("_ev.extracted_json"), ArrayType(SPAN_SCHEMA))
+    )
+    out = df.select(
+        *[c for c in spans_df.columns],
+        "extracted",
+        F.col("_ev.token_seq").alias("token_seq"),
+        F.col("_ev.pred_parse").alias("pred_parse"),
+        F.col("_ev.roundtrip_ok").alias("roundtrip_ok"),
+        F.col("_ev.nted").alias("nted"),
+    )
+    if "expected" in spans_df.columns:
+        out = out.withColumn(
+            "exact_match", (F.col("extracted") == F.col("expected")).cast("int")
+        )
+    return out
+
+
 def run_flagship(
     spark: SparkSession,
     sf_dir: str,
@@ -122,10 +164,13 @@ def run_flagship(
 ) -> DataFrame:
     """End-to-end: synthesize spans table → extract → evaluate.
 
-    Returns one row per document with extraction + invariant columns;
-    aggregate with ``df.agg(avg("exact_match"), avg("roundtrip_ok"),
-    avg("nted"))`` for the corpus-level metrics (A1/A2 analogues).
+    ``mode="doc"`` uses the fused single-Python-node plan; ``"span"``
+    the explode/reassemble plan. Aggregate with ``df.agg(
+    avg("exact_match"), avg("roundtrip_ok"), avg("nted"))`` for the
+    corpus-level metrics (A1/A2 analogues).
     """
     spans = build_spans_table(spark, sf_dir, limit=limit)
+    if mode == "doc":
+        return extract_and_evaluate(spans)
     extracted = extract_documents(spans, mode=mode)
     return evaluate_extraction(extracted)

@@ -27,10 +27,16 @@ __all__ = ["decluster", "salt_heavy", "with_weight_bucket"]
 
 def decluster(df: DataFrame, key: str = "doc_id", num_partitions: int | None = None) -> DataFrame:
     """Uniformly spread rows by hashing a high-cardinality key, breaking
-    any input-order clustering of expensive documents."""
-    if num_partitions:
-        return df.repartition(num_partitions, F.col(key))
-    return df.repartition(F.col(key))
+    any input-order clustering of expensive documents.
+
+    The partition count is always explicit: an advisory ``repartition(col)``
+    lets AQE coalesce by *bytes*, and pandas-UDF stages are compute-bound,
+    not byte-bound — AQE would happily squash a 30 MB / 40 CPU-minute
+    stage onto one core. Default: 2× the cluster's default parallelism.
+    """
+    if not num_partitions:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(num_partitions, F.col(key))
 
 
 def with_weight_bucket(df: DataFrame, weight: Column, heavy_threshold: int = 48) -> DataFrame:

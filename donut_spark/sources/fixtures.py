@@ -204,6 +204,10 @@ def build_spans_table(
     )
     if limit:
         docs = docs.limit(limit)
+    # small single-file inputs arrive as 1 scan partition; spread the
+    # per-doc Python synth across the cluster (hash on doc_id keeps it
+    # deterministic — seeds are per-doc, layout-independent)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
