@@ -535,6 +535,51 @@ def q30_table_ops(spark, sf):
     )
 
 
+def q40_synth_tables(spark, sf):
+    """T16+T14+E4 pipeline: deterministic synthetic tables → sidecar
+    stats → TEDS self-consistency, distributed via mapInPandas."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from donut_spark.functions.udfs import table_stats_udf, teds_struct_udf
+
+    def gen(batches):
+        import pandas as pd
+
+        from donut_spark.core.tabular import synth_table_html
+
+        words = "metric value total revenue count ratio mean delta".split()
+        for pdf in batches:
+            rows = []
+            for sid in pdf["id"]:
+                rows.append(
+                    (
+                        f"tbl_{sid}",
+                        synth_table_html(
+                            int(sid), 2 + int(sid) % 5, 2 + int(sid) % 4,
+                            words, thead_rows=1,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["tbl_id", "html"])
+
+    base = spark.range(50).mapInPandas(
+        gen,
+        StructType([StructField("tbl_id", StringType()), StructField("html", StringType())]),
+    )
+    return (
+        base.withColumn("stats", table_stats_udf("html"))
+        .withColumn("teds_self", F.round(teds_struct_udf("html", "html"), 6))
+        .select(
+            "tbl_id",
+            F.col("stats.nums_row").alias("nums_row"),
+            F.col("stats.nums_col").alias("nums_col"),
+            F.col("stats.has_span").alias("has_span"),
+            "teds_self",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -575,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_span_hof": q36_span_hof,
         "q38_teds_pairs": q38_teds_pairs,
         "q39_resume_antifilter": q39_resume_antifilter,
+        "q40_synth_tables": q40_synth_tables,
     }
 
 

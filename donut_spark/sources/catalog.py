@@ -50,3 +50,58 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Results-jsonl sink (S6, `test.py:136-148`): one JSON object per
+    row, all columns."""
+    from pyspark.sql import functions as F
+
+    df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(
+        mode
+    ).text(path)
+
+
+def write_metadata_jsonl(
+    df: DataFrame,
+    path: str,
+    file_name_col: str = "doc_id",
+    gt_col: str = "gt_parse",
+    mode: str = "overwrite",
+) -> None:
+    """metadata.jsonl sink (S7, `synthdog/template.py:110-117`): rows of
+    ``{"file_name": ..., "ground_truth": "{\\"gt_parse\\": ...}"}`` with
+    the ground truth double-encoded exactly as the reference consumes it
+    (`donut/util.py:75-81`)."""
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        F.col(file_name_col).alias("file_name"),
+        F.concat(F.lit('{"gt_parse": '), F.col(gt_col), F.lit("}")).alias(
+            "ground_truth"
+        ),
+    )
+    out.select(F.to_json(F.struct("file_name", "ground_truth")).alias("value")).write.mode(
+        mode
+    ).text(path)
+
+
+def deterministic_split(
+    df: DataFrame, weights: list, key: str = "doc_id", seed: int = 42
+):
+    """Train/val/test split (U3): the reference uses cumulative-ratio
+    `np.random.rand()` (`synthdog/template.py:42-44,94-99`); ours is a
+    deterministic hash split — stable across runs, cluster sizes, and
+    re-partitioning, which `randomSplit` is not."""
+    from pyspark.sql import functions as F
+
+    total = sum(weights)
+    n_buckets = 1000
+    bucket = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(n_buckets))
+    splits = []
+    lo = 0
+    for w in weights:
+        hi = lo + int(round(w / total * n_buckets))
+        splits.append(df.filter((bucket >= lo) & (bucket < hi)))
+        lo = hi
+    return splits
