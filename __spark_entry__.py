@@ -580,6 +580,29 @@ def q40_synth_tables(spark, sf):
     )
 
 
+def q41_ann_ivf(spark, sf):
+    """IVF-bucketed ANN (coarse quantize → probe → exact rerank)."""
+    from donut_spark.operators.similarity import ivf_topk
+
+    e = _sf(sf)(spark, "embeddings")
+    return ivf_topk(e, _unit_query_vec(64), k=20, n_centroids=16, n_probe=8).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
+def q42_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs over the embeddings table."""
+    from donut_spark.operators.similarity import embedding_near_dup_pairs
+
+    # this synthetic embedding table's true max pairwise cosine is ~0.51,
+    # so the "near-dup" band here is cosine >= 0.45 (59 true pairs >0.4);
+    # wide banding (16 bands of 2 bits) keeps SRP recall high at low cosine
+    e = _sf(sf)(spark, "embeddings")
+    return embedding_near_dup_pairs(
+        e, threshold=0.45, dim=64, n_bits=32, bands=16
+    ).withColumn("cosine", F.round("cosine", 6)).orderBy("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -621,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_teds_pairs": q38_teds_pairs,
         "q39_resume_antifilter": q39_resume_antifilter,
         "q40_synth_tables": q40_synth_tables,
+        "q41_ann_ivf": q41_ann_ivf,
+        "q42_embedding_neardup": q42_embedding_neardup,
     }
 
 

@@ -49,3 +49,56 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window), F.col("event_type"))
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
     )
+
+
+SESSION_SCHEMA = "user_id LONG, session_start LONG, session_end LONG, n_events INT"
+_SESSION_STATE_SCHEMA = "start LONG, last LONG, n INT"
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (SURVEY.md §2.10's 'custom stateful
+    operator' slot).
+
+    Per user, events sorted by epoch-second ``ts_sec`` fold into
+    sessions split on gaps > ``gap_seconds``; closed sessions are
+    emitted, the open tail persists in group state across micro-batches.
+    State is O(1) per user — the shape that survives 10^12 events.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs)).sort_values("ts_sec")
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        out = []
+        for ts in rows["ts_sec"]:
+            ts = int(ts)
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_seconds:
+                out.append((key[0], start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                last = ts
+                n += 1
+        state.update((start, last, n))
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    prepared = events.selectExpr(
+        "user_id", "cast(unix_timestamp(ts) as long) as ts_sec"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -108,6 +108,25 @@ def test_lsh_topk_recall_vs_brute(embeddings):
     assert recall >= 0.7
 
 
+def test_ivf_topk_recall_vs_brute(embeddings):
+    from donut_spark.operators.similarity import ivf_topk
+
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    brute = [r.vec_id for r in cosine_topk(embeddings, q, k=10).collect()]
+    ivf = [
+        r.vec_id
+        for r in ivf_topk(embeddings, q, k=10, n_centroids=6, n_probe=3).collect()
+    ]
+    recall = len(set(brute) & set(ivf)) / 10
+    assert recall >= 0.7
+    # determinism: same codebook, same result
+    ivf2 = [
+        r.vec_id
+        for r in ivf_topk(embeddings, q, k=10, n_centroids=6, n_probe=3).collect()
+    ]
+    assert ivf == ivf2
+
+
 def test_embedding_near_dup_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

@@ -134,6 +134,44 @@ def test_streaming_extraction(spark, tmp_path):
     assert out.count() == 40
 
 
+def test_stateful_sessionize(spark, tmp_path):
+    """Custom stateful op: gap sessionization over a real event stream."""
+    from donut_spark.streaming.stream import sessionize
+
+    src = str(tmp_path / "ev_src")
+    sink = str(tmp_path / "ev_sink")
+    ckpt = str(tmp_path / "ev_ckpt")
+    # user 1: two sessions split by a 300s gap; user 2: one session
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:30"),
+        (1, "2024-01-01 00:05:30"), (1, "2024-01-01 00:05:40"),
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_str"]).selectExpr(
+        "user_id", "cast(ts_str as timestamp) as ts"
+    )
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sessionize(stream, gap_seconds=60)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        (r.user_id, r.n_events)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # only user 1's FIRST session closes within the batch (gap observed);
+    # open tails stay in state
+    assert (1, 2) in out
+    assert all(u != 2 for u, _ in out)
+
+
 def test_multimodal_plumbing(spark):
     from donut_spark.operators.multimodal import (
         decode_and_featurize,
