@@ -98,6 +98,51 @@ def test_checkpoint_resume(spark, tmp_path):
     assert written.count() == docs.count()
 
 
+def test_salted_two_phase_agg(spark):
+    """plans/skew.salt_heavy: two-phase aggregation over a hot key gives
+    the same answer as the direct plan (correctness of the salting
+    rewrite; the win is partition balance at scale)."""
+    from donut_spark.plans.skew import salt_heavy
+
+    spans = build_spans_table(spark, SF_SMALL, limit=150)
+    exploded = spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.offset").alias("offset"),
+        F.length("s.text").alias("chars"),
+    )
+    direct = {
+        r.kind: (r.n, r.total)
+        for r in exploded.groupBy("kind")
+        .agg(F.count("*").alias("n"), F.sum("chars").alias("total"))
+        .collect()
+    }
+    salted = salt_heavy(
+        exploded, key="kind", row_col="offset", weight=F.lit(10**9), salt_buckets=8
+    )
+    partial = salted.groupBy("kind", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("chars").alias("pt")
+    )
+    merged = {
+        r.kind: (r.n, r.total)
+        for r in partial.groupBy("kind")
+        .agg(F.sum("pn").alias("n"), F.sum("pt").alias("total"))
+        .collect()
+    }
+    assert merged == direct
+    # salts actually spread the hot key
+    n_salts = salted.filter(F.col("kind") == "text").select("_salt").distinct().count()
+    assert n_salts > 1
+
+
+def test_decluster_partition_count(spark):
+    from donut_spark.plans.skew import decluster
+
+    df = spark.range(1000).selectExpr("cast(id as string) doc_id")
+    out = decluster(df, num_partitions=12)
+    assert out.rdd.getNumPartitions() == 12
+
+
 def test_quarantine_split(spark):
     from donut_spark.plans.lineage import quarantine_split
 
