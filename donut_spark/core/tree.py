@@ -42,6 +42,7 @@ __all__ = [
     "json2token",
     "token2json",
     "normalize_tree",
+    "canonicalize",
     "json2token_str",
     "token2json_str",
     "roundtrip_ok",
@@ -199,16 +200,31 @@ def token2json_str(tokens: str) -> str:
     return json.dumps(tree, ensure_ascii=False, sort_keys=True)
 
 
+def canonicalize(tree: Any) -> Any:
+    """Fixed-point canonical form: ``normalize_tree`` applied twice.
+
+    One pass is not idempotent in the reference (`donut/util.py:305`
+    sorts list-of-dicts by their PRE-normalized stringified items, so
+    wrapping a scalar into a list can reorder siblings on the next
+    pass); after the second pass values are fixed points and the sort
+    key is stable, so this is the canonical representative.
+    """
+    return normalize_tree(normalize_tree(tree))
+
+
 def roundtrip_ok(tree_json: str) -> bool:
-    """The core invariant: token2json(json2token(t)) == normalize(t).
+    """The core invariant: token2json(json2token(t)) ≡ t under the
+    canonical (fixed-point normalized) form.
 
     Matches the reference's implicit contract between `donut/util.py:83-94`
     (linearize at dataset build) and `donut/model.py:855` (delinearize at
-    inference), compared after `normalize_dict` canonicalization.
+    inference), compared after `normalize_dict` canonicalization — taken
+    at its fixed point so the comparison doesn't inherit the sort-key
+    instability documented in :func:`canonicalize`.
     """
     try:
         tree = json.loads(tree_json)
     except (TypeError, ValueError):
         return False
     back = token2json(json2token(tree))
-    return normalize_tree(back) == normalize_tree(tree)
+    return canonicalize(back) == canonicalize(tree)

@@ -182,14 +182,32 @@ def ngram_jaccard_pairs(
     ).filter(F.col("sh") != "")
     sizes = shingled.groupBy("k").agg(F.count("*").alias("sz"))
 
-    joined = (
-        shingled.alias("l")
-        .join(shingled.alias("r"), (F.col("l.sh") == F.col("r.sh")) & (F.col("l.k") < F.col("r.k")))
-        .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        joined = joined.join(candidates.select("a", "b"), ["a", "b"], "left_semi")
+        # scale shape: restrict BOTH shingle sides to candidate endpoints
+        # BEFORE the self-join — the hot-shingle explosion never happens
+        cands = candidates.select("a", "b")
+        joined = (
+            cands.join(
+                shingled.alias("l"), F.col("a") == F.col("l.k"), "inner"
+            )
+            .join(
+                shingled.alias("r"),
+                (F.col("b") == F.col("r.k")) & (F.col("l.sh") == F.col("r.sh")),
+                "inner",
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        joined = (
+            shingled.alias("l")
+            .join(
+                shingled.alias("r"),
+                (F.col("l.sh") == F.col("r.sh")) & (F.col("l.k") < F.col("r.k")),
+            )
+            .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+            .agg(F.count("*").alias("inter"))
+        )
     return (
         joined.join(sizes.withColumnRenamed("k", "a").withColumnRenamed("sz", "sz_a"), "a")
         .join(sizes.withColumnRenamed("k", "b").withColumnRenamed("sz", "sz_b"), "b")
