@@ -729,7 +729,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_token_stats": """
             SELECT lang,
                    round(avg(n_tokens), 4) AS avg_tokens,
-                   sum(n_tokens) AS sum_tokens
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
             FROM (SELECT lang, len(string_split(text, ' ')) AS n_tokens
                   FROM documents)
             GROUP BY lang

@@ -191,10 +191,40 @@ def _perm_params(num_perm: int, seed: int):
     return _PERM_CACHE[key]
 
 
+_U32 = np.uint64(0xFFFFFFFF)
+_LOW29 = np.uint64((1 << 29) - 1)
+
+
+def _reduce_p(y: np.ndarray) -> np.ndarray:
+    """y mod (2^61-1) for y < 2^64, vectorized (fold high bits, one
+    conditional subtract)."""
+    p = np.uint64(_MERSENNE)
+    r = (y >> np.uint64(61)) + (y & p)
+    return np.where(r >= p, r - p, r)
+
+
+def _mulmod_p(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod (2^61-1), EXACT, in uint64 limb arithmetic.
+
+    Requires a < 2^61, x < 2^32 (crc32 base hashes). Split a into 32-bit
+    limbs: a*x = a_hi*x*2^32 + a_lo*x; each partial fits in uint64, and
+    multiplying by 2^32 mod the Mersenne prime is a 29/32-bit rotate.
+    """
+    a_hi = a >> np.uint64(32)  # < 2^29
+    a_lo = a & _U32
+    t1 = _reduce_p(a_hi * x)  # a_hi*x < 2^61, no wrap
+    # t1 * 2^32 mod p: t1 = h*2^29 + l  ⇒  t1*2^32 ≡ h + l*2^32 (mod p)
+    rot = _reduce_p(((t1 & _LOW29) << np.uint64(32)) + (t1 >> np.uint64(29)))
+    t0 = _reduce_p(a_lo * x)  # a_lo*x < 2^64, no wrap
+    return _reduce_p(rot + t0)
+
+
 def minhash_signature(
     shingles: Sequence[str], num_perm: int = 64, seed: int = 1
 ) -> np.ndarray:
-    """MinHash signature via universal hashing h_i(x) = (a_i*x+b_i) mod p.
+    """MinHash signature via universal hashing h_i(x) = (a_i*x+b_i) mod p,
+    computed EXACTLY (limb arithmetic — no silent uint64 wrap before the
+    Mersenne mod, see :func:`_mulmod_p`), p = 2^61-1.
 
     Empty input yields the max-value signature (never collides with real
     docs). Returns uint64[num_perm].
@@ -205,8 +235,8 @@ def minhash_signature(
     base = np.array(
         [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64
     )
-    # (n_shingles, num_perm) — numpy broadcasts; mod Mersenne prime
-    prods = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    # (n_shingles, num_perm) — exact (a*x + b) mod p, numpy broadcasts
+    prods = _reduce_p(_mulmod_p(a[None, :], base[:, None]) + b[None, :])
     return prods.min(axis=0)
 
 

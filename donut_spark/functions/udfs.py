@@ -74,15 +74,17 @@ def _signed64(v: int) -> int:
 def _extract_one(doc: list) -> List[dict]:
     """Extraction body for one document's span list (reading-order sort
     W1 → boilerplate strip T8 → media passthrough → dense renumber)."""
-    ordered = sorted(doc, key=lambda s: s["offset"])
+    # to_json drops null-valued fields (ignoreNullFields default), so a
+    # NULL text/media_ref/offset arrives as a MISSING key — .get, not [].
+    ordered = sorted(doc, key=lambda s: s.get("offset") or 0)
     pieces: List[dict] = []
     for span in ordered:
-        if span["kind"] == "media":
+        if span.get("kind") == "media":
             pieces.append(
-                {"kind": "media", "text": "", "media_ref": span["media_ref"]}
+                {"kind": "media", "text": "", "media_ref": span.get("media_ref") or ""}
             )
         else:
-            for kind, text, ref in htmlnorm.html_to_spans(span["text"] or ""):
+            for kind, text, ref in htmlnorm.html_to_spans(span.get("text") or ""):
                 pieces.append({"kind": kind, "text": text, "media_ref": ref})
     for i, p in enumerate(pieces):
         p["offset"] = i

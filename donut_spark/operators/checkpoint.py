@@ -74,9 +74,20 @@ def run_resumable(
     if "_bucket" not in result.columns:
         raise ValueError("transform must preserve the _bucket column")
 
-    result.write.mode("append").partitionBy("_bucket").parquet(
-        os.path.join(out_path, "data")
-    )
+    # Dynamic partition overwrite: only the _bucket= partitions present in
+    # this run are replaced, committed partitions are untouched. This
+    # closes the crash window between the parquet job committing and
+    # mark_committed running — a re-run REPLACES the orphaned partitions
+    # instead of appending duplicate rows (idempotence doesn't depend on
+    # the marker write landing).
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        result.write.mode("overwrite").partitionBy("_bucket").parquet(
+            os.path.join(out_path, "data")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     # buckets actually present in this run's output
     data_dir = os.path.join(out_path, "data")

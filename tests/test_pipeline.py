@@ -98,6 +98,31 @@ def test_checkpoint_resume(spark, tmp_path):
     assert written.count() == docs.count()
 
 
+def test_checkpoint_crash_window_no_duplicates(spark, tmp_path):
+    """Crash AFTER the parquet job commits but BEFORE markers land: the
+    re-run must replace the orphaned bucket partitions, not append dupes
+    (dynamic partition overwrite makes the data write itself idempotent)."""
+    import shutil
+
+    from donut_spark.operators.checkpoint import run_resumable
+
+    out = str(tmp_path / "crash_out")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        F.col("doc_id").cast("string"), "text"
+    )
+
+    def transform(df):
+        return df.withColumn("n", F.length("text"))
+
+    run_resumable(spark, docs, transform, out, n_buckets=8)
+    # simulate the crash window: data committed, markers lost
+    shutil.rmtree(os.path.join(out, "_commits"))
+    reprocessed = run_resumable(spark, docs, transform, out, n_buckets=8)
+    assert len(reprocessed) == 8  # everything re-ran...
+    written = spark.read.parquet(os.path.join(out, "data"))
+    assert written.count() == docs.count()  # ...but rows appear exactly once
+
+
 def test_salted_two_phase_agg(spark):
     """plans/skew.salt_heavy: two-phase aggregation over a hot key gives
     the same answer as the direct plan (correctness of the salting
