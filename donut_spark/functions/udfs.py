@@ -110,8 +110,13 @@ EVAL_SCHEMA = StructType(
         StructField("pred_parse", StringType()),
         StructField("roundtrip_ok", IntegerType()),
         StructField("nted", DoubleType()),
+        StructField("_error", StringType()),
     ]
 )
+
+_EVAL_COLS = [
+    "extracted_json", "token_seq", "pred_parse", "roundtrip_ok", "nted", "_error",
+]
 
 
 @F.pandas_udf(EVAL_SCHEMA)
@@ -123,26 +128,32 @@ def _extract_eval_fused(spans_json: pd.Series, gt_parse: pd.Series) -> pd.DataFr
     cost dominates small per-doc kernels. The fused body runs
     extraction, json2token/token2json round-trip, and nTED in a single
     pass per document.
+
+    Error capture is INSIDE the per-document loop (reference parity:
+    `test.py:147-152,187-189` pickles failing samples and continues):
+    one poison document at 10^12-row scale must never fail the task —
+    it lands in the ``_error`` column and `plans.lineage.quarantine_split`
+    routes it to the quarantine sink.
     """
     loads, dumps = json.loads, json.dumps
     rows = []
     for sj, gt in zip(spans_json, gt_parse):
-        pieces = _extract_one(loads(sj) if sj else [])
-        seq = tree.json2token_str(gt)
-        pred = tree.token2json_str(seq)
-        ok = tree.roundtrip_ok(gt)
         try:
-            gt_tree = loads(gt) if gt else {}
-        except ValueError:
-            gt_tree = {}
-        nted = metrics.nted_accuracy(loads(pred), gt_tree)
-        rows.append(
-            (dumps(pieces, ensure_ascii=False), seq, pred, int(ok), nted)
-        )
-    return pd.DataFrame(
-        rows,
-        columns=["extracted_json", "token_seq", "pred_parse", "roundtrip_ok", "nted"],
-    )
+            pieces = _extract_one(loads(sj) if sj else [])
+            seq = tree.json2token_str(gt)
+            pred = tree.token2json_str(seq)
+            ok = tree.roundtrip_ok(gt)
+            try:
+                gt_tree = loads(gt) if gt else {}
+            except ValueError:
+                gt_tree = {}
+            nted = metrics.nted_accuracy(loads(pred), gt_tree)
+            rows.append(
+                (dumps(pieces, ensure_ascii=False), seq, pred, int(ok), nted, None)
+            )
+        except Exception as exc:  # noqa: BLE001 — quarantine, never fail the job
+            rows.append(("[]", "", "", 0, 0.0, f"{type(exc).__name__}: {exc}"))
+    return pd.DataFrame(rows, columns=_EVAL_COLS)
 
 
 def extract_spans(spans_col) -> "F.Column":

@@ -180,6 +180,38 @@ def test_quarantine_split(spark):
     assert [r.doc_id for r in bad.collect()] == ["b"]
 
 
+def test_poison_doc_quarantined_not_fatal(spark):
+    """S11 inside the fused UDF: a pathological document (recursion-bomb
+    HTML) must not fail the job — it lands in the quarantine frame with
+    an error string while every healthy doc still evaluates clean."""
+    from donut_spark.operators.extract import extract_and_evaluate
+    from donut_spark.plans.lineage import quarantine_split
+    from donut_spark.sources.fixtures import SPANS_TABLE_SCHEMA, synth_doc
+
+    rows = []
+    for i in range(6):
+        spans, expected, gt = synth_doc(f"ok_{i}", "alpha beta gamma delta")
+        rows.append((f"ok_{i}", spans, expected, gt))
+    bomb = "<div>" * 4000 + "x" + "</div>" * 4000
+    rows.append(
+        (
+            "poison",
+            [{"kind": "text", "text": bomb, "media_ref": "", "offset": 0}],
+            [],
+            '{"doc": {"title": "p"}}',
+        )
+    )
+    df = spark.createDataFrame(rows, SPANS_TABLE_SCHEMA)
+    good, bad = quarantine_split(extract_and_evaluate(df))
+    bad_rows = bad.select("doc_id", "_error").collect()
+    assert [r.doc_id for r in bad_rows] == ["poison"]
+    assert "RecursionError" in bad_rows[0]._error
+    g = good.agg(
+        F.count("*").alias("n"), F.avg("exact_match").alias("em")
+    ).first()
+    assert g.n == 6 and g.em == 1.0
+
+
 def test_streaming_extraction(spark, tmp_path):
     """Micro-batch streaming twin produces the same rows as batch."""
     from donut_spark.streaming.stream import stream_extract_from_files
