@@ -37,6 +37,7 @@ from ..sources.fixtures import SPAN_SCHEMA
 
 __all__ = [
     "extract_spans",
+    "extract_spans_json",
     "extract_text",
     "clean_table",
     "repair_table",
@@ -161,6 +162,13 @@ def extract_spans(spans_col) -> "F.Column":
     return F.from_json(
         _extract_spans_json(F.to_json(spans_col)), ArrayType(SPAN_SCHEMA)
     )
+
+
+def extract_spans_json(spans_col) -> "F.Column":
+    """Like :func:`extract_spans` but returns the raw JSON string (the
+    kernel's own ``json.dumps`` serialization) — byte-comparable against
+    a fixture ``expected_json`` produced by the same serializer."""
+    return _extract_spans_json(F.to_json(spans_col))
 
 
 PIECE_SCHEMA = StructType(

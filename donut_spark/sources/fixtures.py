@@ -47,6 +47,8 @@ __all__ = [
     "SPANS_TABLE_SCHEMA",
     "synth_doc",
     "build_spans_table",
+    "materialize_spans",
+    "load_spans",
 ]
 
 SPAN_SCHEMA = StructType(
@@ -191,13 +193,21 @@ def synth_doc(doc_id: str, corpus_text: str) -> Tuple[list, list, str]:
 
 
 def build_spans_table(
-    spark: SparkSession, sf_dir: str, limit: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    limit: int | None = None,
+    with_expected_json: bool = False,
 ) -> DataFrame:
     """documents(text table) → interleaved spans table, distributed.
 
     Uses `mapInPandas` (iterator form, Arrow-batched) so generation is
     per-partition and memory-bounded; determinism comes from per-doc
     seeds, never partition layout.
+
+    ``with_expected_json`` adds an ``expected_json`` column serialized
+    by the SAME ``json.dumps`` call the fused extraction UDF uses for
+    ``extracted_json`` — so span-sequence equality is byte-comparable
+    as a plain string across engines (the DuckDB oracle path).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
@@ -209,6 +219,14 @@ def build_spans_table(
     # deterministic — seeds are per-doc, layout-independent)
     docs = docs.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
 
+    cols = ["doc_id", "spans", "expected", "gt_parse"]
+    schema = SPANS_TABLE_SCHEMA
+    if with_expected_json:
+        cols = cols + ["expected_json"]
+        schema = StructType(
+            SPANS_TABLE_SCHEMA.fields + [StructField("expected_json", StringType())]
+        )
+
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -216,9 +234,40 @@ def build_spans_table(
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 spans, expected, gt = synth_doc(str(doc_id), text or "")
-                rows.append((str(doc_id), spans, expected, gt))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "spans", "expected", "gt_parse"]
-            )
+                row = [str(doc_id), spans, expected, gt]
+                if with_expected_json:
+                    row.append(json.dumps(expected, ensure_ascii=False))
+                rows.append(tuple(row))
+            yield pd.DataFrame(rows, columns=cols)
 
-    return docs.mapInPandas(gen, schema=SPANS_TABLE_SCHEMA)
+    return docs.mapInPandas(gen, schema=schema)
+
+
+FIXTURES_ROOT = "/root/repo/.fixtures"
+
+
+def materialize_spans(
+    spark: SparkSession, sf_dir: str, out_root: str = FIXTURES_ROOT
+) -> str:
+    """Write the spans fixture for ``sf_dir`` to parquet once; return its
+    path. Idempotent (keyed on the _SUCCESS marker).
+
+    The materialized copy is what both sides of the correctness gate
+    read: the Spark queries scan it like any table, and the DuckDB
+    oracles `read_parquet` the same files — so the comparison can never
+    drift even if the generator code changes between runs.
+    """
+    import os
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(out_root, f"spans_{name}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    df = build_spans_table(spark, sf_dir, with_expected_json=True)
+    df.repartition(4, "doc_id").write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the materialized spans fixture (materializing on first use)."""
+    return spark.read.parquet(materialize_spans(spark, sf_dir))

@@ -53,12 +53,55 @@ def _compare(sdf: pd.DataFrame, odf: pd.DataFrame, name: str):
 ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
 
 
+@pytest.fixture(scope="module")
+def oracle_sqls(spark):
+    """Oracle twins pointed at THIS scale factor's materialized fixture
+    (oracle_sql() itself pins the driver's sf0.01 fixture path)."""
+    from donut_spark.sources.fixtures import materialize_spans
+
+    fx = materialize_spans(spark, SF_SMALL)
+    return entry_mod._oracle_sql_for(f"{fx}/*.parquet")
+
+
 @pytest.mark.parametrize("name", ORACLE_KEYS)
-def test_oracle_parity(spark, oracle_con, name):
+def test_oracle_parity(spark, oracle_con, oracle_sqls, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_SMALL).toPandas()
-    odf = oracle_con.execute(entry_mod.oracle_sql()[name]).df()
+    odf = oracle_con.execute(oracle_sqls[name]).df()
     _compare(sdf, odf, name)
+
+
+def test_fixture_matches_generator(spark):
+    """The committed fixture parquet must track the generator code: a
+    fresh in-memory synthesis of the same corpus must be row-identical
+    (guards against editing synth_doc without re-materializing)."""
+    from pyspark.sql import functions as F
+
+    from donut_spark.sources.fixtures import build_spans_table, load_spans
+
+    fresh = build_spans_table(spark, SF_SMALL, with_expected_json=True)
+    stored = load_spans(spark, SF_SMALL)
+    assert stored.count() == fresh.count()
+    j = stored.select(
+        "doc_id",
+        F.to_json("spans").alias("s"),
+        F.col("expected_json").alias("e"),
+        "gt_parse",
+    ).join(
+        fresh.select(
+            "doc_id",
+            F.to_json("spans").alias("s2"),
+            F.col("expected_json").alias("e2"),
+            F.col("gt_parse").alias("g2"),
+        ),
+        "doc_id",
+    )
+    n_bad = j.filter(
+        (F.col("s") != F.col("s2"))
+        | (F.col("e") != F.col("e2"))
+        | (F.col("gt_parse") != F.col("g2"))
+    ).count()
+    assert n_bad == 0
 
 
 def test_every_oracle_key_has_query():
