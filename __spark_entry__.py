@@ -668,6 +668,31 @@ def q42_embedding_neardup(spark, sf):
     ).withColumn("cosine", F.round("cosine", 6)).orderBy("a", "b")
 
 
+def q45_multi_gt(spark, sf):
+    """S2 multi-ground-truth branch (`donut/util.py:75-82`): DocVQA-shaped
+    envelopes where even docs carry a gt_parses LIST (true + decoy), odd a
+    single gt_parse. Scoring is best-of-candidates nTED; the oracle
+    asserts the envelope branch picked the right candidate count and the
+    round-tripped true parse scores a perfect best-of."""
+    from donut_spark.functions.udfs import (
+        gt_candidates_udf,
+        json2token_udf,
+        nted_best_udf,
+        token2json_udf,
+    )
+    from donut_spark.sources.fixtures import build_multi_gt_metadata
+
+    md = build_multi_gt_metadata(spark, sf)
+    df = md.withColumn("cands", gt_candidates_udf("ground_truth")).withColumn(
+        "pred", token2json_udf(json2token_udf(F.element_at("cands", 1)))
+    )
+    return df.select(
+        "file_name",
+        F.size("cands").alias("n_candidates"),
+        F.round(nted_best_udf("pred", "cands"), 6).alias("best_nted"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -714,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_embedding_neardup": q42_embedding_neardup,
         "q43_jaccard_exact": q43_jaccard_exact,
         "q44_max_token_len": q44_max_token_len,
+        "q45_multi_gt": q45_multi_gt,
     }
 
 
@@ -1035,6 +1061,13 @@ def _oracle_sql_for(fx: str) -> dict[str, str]:
             FROM t
             ORDER BY token_len DESC, doc_id
             LIMIT 5
+        """,
+        "q45_multi_gt": """
+            SELECT CAST(doc_id AS VARCHAR) AS file_name,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT)
+                       AS n_candidates,
+                   CAST(1.0 AS DOUBLE) AS best_nted
+            FROM documents
         """,
         # q24..q26, q28..q30, q38, q41, q42: LSH/ANN/multimodal/TEDS-pair
         # kernels — not SQL-expressible; driver records rows-only checks

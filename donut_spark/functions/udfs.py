@@ -45,6 +45,8 @@ __all__ = [
     "token2json_udf",
     "roundtrip_ok_udf",
     "nted_udf",
+    "gt_candidates_udf",
+    "nted_best_udf",
     "teds_udf",
     "teds_struct_udf",
     "table_stats_udf",
@@ -260,6 +262,52 @@ def nted_udf(pred_json: pd.Series, gold_json: pd.Series) -> pd.Series:
             for p, g in zip(pred_json, gold_json)
         ]
     )
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def gt_candidates_udf(ground_truth: pd.Series) -> pd.Series:
+    """Ground-truth envelope → candidate parse list (JSON strings).
+
+    Reference parity (`donut/util.py:75-82`): ``gt_parses`` (a list,
+    e.g. DocVQA's multiple acceptable answers) yields all candidates;
+    otherwise the single ``gt_parse`` dict becomes a 1-element list.
+    Malformed envelopes yield an empty list (quarantine upstream).
+    """
+    loads, dumps = json.loads, json.dumps
+
+    def parse(gt: str) -> list:
+        try:
+            env = loads(gt) if gt else {}
+        except ValueError:
+            return []
+        if "gt_parses" in env:
+            cands = env["gt_parses"]
+            if not isinstance(cands, list):
+                return []
+        elif "gt_parse" in env and isinstance(env["gt_parse"], dict):
+            cands = [env["gt_parse"]]
+        else:
+            return []
+        return [dumps(c, ensure_ascii=False, sort_keys=True) for c in cands]
+
+    return ground_truth.map(parse)
+
+
+@F.pandas_udf(DoubleType())
+def nted_best_udf(pred_json: pd.Series, candidates: pd.Series) -> pd.Series:
+    """Best-of-candidates nTED accuracy: max over the gt_parses list
+    (multi-ground-truth scoring, the downstream consumer of
+    `donut/util.py:75-82`'s envelope branch). Empty candidate list → 0."""
+    out = []
+    for p, cands in zip(pred_json, candidates):
+        pred = _parse_or_empty(p)
+        best = 0.0
+        for c in cands if cands is not None else []:
+            best = max(best, metrics.nted_accuracy(pred, _parse_or_empty(c)))
+            if best >= 1.0:
+                break
+        out.append(best)
+    return pd.Series(out)
 
 
 @F.pandas_udf(DoubleType())

@@ -86,6 +86,35 @@ def write_metadata_jsonl(
     ).text(path)
 
 
+def read_metadata_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a metadata.jsonl dataset back into (file_name, gt_candidates).
+
+    Reference parity (`donut/util.py:75-82`): the double-encoded
+    ``ground_truth`` envelope either carries ``gt_parses`` — a LIST of
+    acceptable parses (e.g. DocVQA multi-annotator answers) — or a single
+    ``gt_parse`` dict; the single form is normalized to a 1-element
+    candidate list so every consumer scores best-of-candidates.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..functions.udfs import gt_candidates_udf
+
+    envelope_schema = StructType(
+        [
+            StructField("file_name", StringType()),
+            StructField("ground_truth", StringType()),
+        ]
+    )
+    lines = spark.read.text(path)
+    rows = lines.select(
+        F.from_json(F.col("value"), envelope_schema).alias("r")
+    ).select("r.file_name", "r.ground_truth")
+    return rows.select(
+        "file_name", gt_candidates_udf("ground_truth").alias("gt_candidates")
+    )
+
+
 def deterministic_split(
     df: DataFrame, weights: list, key: str = "doc_id", seed: int = 42
 ):

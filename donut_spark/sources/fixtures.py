@@ -47,6 +47,7 @@ __all__ = [
     "SPANS_TABLE_SCHEMA",
     "synth_doc",
     "build_spans_table",
+    "build_multi_gt_metadata",
     "materialize_spans",
     "load_spans",
 ]
@@ -241,6 +242,55 @@ def build_spans_table(
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.mapInPandas(gen, schema=schema)
+
+
+MULTI_GT_SCHEMA = StructType(
+    [
+        StructField("file_name", StringType()),
+        StructField("ground_truth", StringType()),
+    ]
+)
+
+
+def build_multi_gt_metadata(
+    spark: SparkSession, sf_dir: str, limit: int | None = None
+) -> DataFrame:
+    """DocVQA-shaped metadata rows (reference `donut/util.py:75-82`):
+    even doc_ids carry a ``gt_parses`` LIST of two candidates — the true
+    parse plus a deterministic decoy (altered title, truncated items) —
+    odd doc_ids the single ``gt_parse`` envelope. Double-encoded exactly
+    like the metadata.jsonl sink (`synthdog/template.py:110-117`)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    if limit:
+        docs = docs.limit(limit)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                _, _, gt = synth_doc(str(doc_id), text or "")
+                tree = json.loads(gt)
+                if int(doc_id) % 2 == 0:
+                    decoy = {
+                        "doc": {
+                            "title": tree["doc"]["title"] + " decoy",
+                            "items": tree["doc"]["items"][:1],
+                        }
+                    }
+                    env = {"gt_parses": [tree, decoy]}
+                else:
+                    env = {"gt_parse": tree}
+                rows.append(
+                    (str(doc_id), json.dumps(env, ensure_ascii=False, sort_keys=True))
+                )
+            yield pd.DataFrame(rows, columns=["file_name", "ground_truth"])
+
+    return docs.mapInPandas(gen, schema=MULTI_GT_SCHEMA)
 
 
 FIXTURES_ROOT = "/root/repo/.fixtures"

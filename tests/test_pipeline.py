@@ -180,6 +180,58 @@ def test_quarantine_split(spark):
     assert [r.doc_id for r in bad.collect()] == ["b"]
 
 
+def test_multi_gt_envelope_branches(spark, tmp_path):
+    """gt_parses envelope branch (donut/util.py:75-82): a metadata.jsonl
+    with BOTH envelope forms round-trips through the sink + reader, the
+    list form keeps all candidates, the single form wraps to one, and
+    best-of-candidates scoring strictly beats the decoy's score."""
+    import json
+
+    from donut_spark.functions.udfs import nted_best_udf, nted_udf
+    from donut_spark.sources.catalog import read_metadata_jsonl
+
+    true_parse = {"doc": {"title": "alpha beta", "items": [{"nm": "x", "cnt": "2"}]}}
+    decoy = {"doc": {"title": "alpha beta decoy", "items": []}}
+    lines = [
+        json.dumps(
+            {
+                "file_name": "multi",
+                "ground_truth": json.dumps({"gt_parses": [true_parse, decoy]}),
+            }
+        ),
+        json.dumps(
+            {
+                "file_name": "single",
+                "ground_truth": json.dumps({"gt_parse": true_parse}),
+            }
+        ),
+        json.dumps({"file_name": "broken", "ground_truth": "not json"}),
+    ]
+    path = tmp_path / "metadata.jsonl"
+    path.write_text("\n".join(lines))
+
+    md = read_metadata_jsonl(spark, str(path))
+    rows = {r.file_name: r.gt_candidates for r in md.collect()}
+    assert len(rows["multi"]) == 2
+    assert len(rows["single"]) == 1
+    assert rows["broken"] == []
+    assert json.loads(rows["single"][0]) == true_parse
+
+    # best-of-candidates: pred == true parse → best is 1.0 even though the
+    # decoy candidate scores strictly lower
+    df = md.filter(F.col("file_name") == "multi").select(
+        nted_best_udf(
+            F.lit(json.dumps(true_parse)), F.col("gt_candidates")
+        ).alias("best"),
+        nted_udf(
+            F.lit(json.dumps(true_parse)), F.lit(json.dumps(decoy))
+        ).alias("vs_decoy"),
+    )
+    r = df.first()
+    assert r.best == 1.0
+    assert r.vs_decoy < 1.0
+
+
 def test_poison_doc_quarantined_not_fatal(spark):
     """S11 inside the fused UDF: a pathological document (recursion-bomb
     HTML) must not fail the job — it lands in the quarantine frame with
