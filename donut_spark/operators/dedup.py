@@ -33,7 +33,41 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "minhash_banded",
+    "hot_buckets",
 ]
+
+
+def _cap_hot_buckets(banded: DataFrame, keys: list, cap: int | None) -> DataFrame:
+    """Drop LSH buckets with more than ``cap`` members before the
+    self-join (a degenerate band value — empty docs, boilerplate-identical
+    shards — makes one bucket quadratic at corpus scale).
+
+    NOT silent: callers audit the dropped buckets with :func:`hot_buckets`
+    (same keys/cap), and the documented composition is exact-dedup FIRST
+    (`exact_dedup`) so byte-identical mass never reaches the LSH join —
+    the cap then only fires on adversarial/degenerate residue."""
+    if cap is None:
+        return banded
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > cap)
+        .select(*keys)
+    )
+    # hot is small by construction (few degenerate buckets) → broadcast anti-join
+    return banded.join(F.broadcast(hot), keys, "left_anti")
+
+
+def hot_buckets(banded: DataFrame, keys: list, cap: int) -> DataFrame:
+    """Audit frame for the bucket cap: (keys..., n_members) of every
+    bucket the cap would drop. Count/log it next to the pair output so a
+    capped run is never mistaken for full coverage."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > cap)
+    )
 
 
 def exact_dup_clusters(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
@@ -66,7 +100,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
     return df.join(keepers, key, "left_semi")
 
 
-def minhash_lsh_pairs(
+def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
     key: str = "doc_id",
@@ -75,13 +109,8 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     seed: int = 1,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH.
-
-    rows = num_perm // bands hashes per band; two docs collide if any
-    band's sub-signature matches exactly. Returns distinct (a, b) with
-    a < b plus the number of colliding bands (a cheap similarity proxy;
-    exact Jaccard verification belongs to :func:`ngram_jaccard_pairs`).
-    """
+    """(k, band, band_hash) banding of the MinHash signatures — the
+    shared input of the pair self-join and the :func:`hot_buckets` audit."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     rows = num_perm // bands
@@ -89,15 +118,46 @@ def minhash_lsh_pairs(
         F.col(key).alias("k"),
         minhash_udf(num_perm, shingle_k, seed)(F.col(text_col)).alias("sig"),
     )
-    banded = sig.select(
+    # posexplode_outer: avoids the implicit size()>0 pushdown that would
+    # re-evaluate the minhash UDF twice (the band array is never empty)
+    return sig.select(
         "k",
-        F.posexplode(
+        F.posexplode_outer(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
                 f"b -> xxhash64(cast(b as string), "
                 f"cast(slice(sig, b * {rows} + 1, {rows}) as string)))"
             )
         ).alias("band", "band_hash"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 1,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows = num_perm // bands hashes per band; two docs collide if any
+    band's sub-signature matches exactly. Returns distinct (a, b) with
+    a < b plus the number of colliding bands (a cheap similarity proxy;
+    exact Jaccard verification belongs to :func:`ngram_jaccard_pairs`).
+
+    ``max_bucket_size`` is the hot-bucket guard (see
+    :func:`_cap_hot_buckets`): run :func:`exact_dedup` first so identical
+    mass never forms a quadratic bucket, audit drops via
+    :func:`hot_buckets`.
+    """
+    banded = _cap_hot_buckets(
+        minhash_banded(df, text_col, key, num_perm, bands, shingle_k, seed),
+        ["band", "band_hash"],
+        max_bucket_size,
     )
     pairs = (
         banded.alias("l")
@@ -118,23 +178,29 @@ def simhash_pairs(
     text_col: str = "text",
     key: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 4×16-bit chunk blocking + exact
     hamming verify. With max_hamming ≤ 3, pigeonhole guarantees recall
-    over the 4-chunk index."""
+    over the 4-chunk index.
+
+    ``max_bucket_size`` guards degenerate chunk buckets exactly like
+    :func:`minhash_lsh_pairs` (compose with :func:`exact_dedup` first;
+    audit with :func:`hot_buckets` on (chunk, chunk_val))."""
     sig = df.select(
         F.col(key).alias("k"), simhash_udf(F.col(text_col)).alias("sh")
     )
     chunks = sig.select(
         "k",
         "sh",
-        F.posexplode(
+        F.posexplode_outer(
             F.expr(
                 "transform(sequence(0, 3), "
                 "c -> cast(shiftright(sh, c * 16) & 65535 as int))"
             )
         ).alias("chunk", "chunk_val"),
     )
+    chunks = _cap_hot_buckets(chunks, ["chunk", "chunk_val"], max_bucket_size)
     return (
         chunks.alias("l")
         .join(

@@ -68,10 +68,22 @@ def extract_documents(
     if mode != "span":
         raise ValueError(f"unknown mode: {mode}")
 
+    # Pass-through columns (expected, gt_parse, spans, ...) ride the
+    # SAME scan/shuffle as the exploded spans — exactly one copy per
+    # document, attached to the pos==0 row and recovered with
+    # first(ignorenulls) — instead of a second scan of the fact table
+    # plus a join (at 100 TB the re-scan is the dominant cost; here it
+    # would even re-run fixture synthesis).
+    passthrough = [c for c in spans_df.columns if c not in ("doc_id", "spans")]
     exploded = df.select(
-        "doc_id", F.explode("spans").alias("s")
+        "doc_id", "spans", *passthrough, F.posexplode("spans").alias("pos", "s")
     ).select(
         "doc_id",
+        *[
+            F.when(F.col("pos") == 0, F.col(c)).alias(c)
+            for c in passthrough
+        ],
+        F.when(F.col("pos") == 0, F.col("spans")).alias("spans"),
         F.col("s.offset").alias("offset"),
         F.when(
             F.col("s.kind") == "media",
@@ -89,14 +101,18 @@ def extract_documents(
     reassembled = (
         exploded.groupBy("doc_id")
         .agg(
-            F.collect_list(F.struct("offset", "pieces")).alias("_parts")
+            F.collect_list(F.struct("offset", "pieces")).alias("_parts"),
+            F.first("spans", ignorenulls=True).alias("spans"),
+            *[
+                F.first(c, ignorenulls=True).alias(c)
+                for c in passthrough
+            ],
         )
         .withColumn("_flat", F.expr("flatten(transform(array_sort(_parts), p -> p.pieces))"))
         .withColumn("extracted", F.expr(_RENUMBER))
         .drop("_parts", "_flat")
     )
-    # reattach original columns (expected, gt_parse, spans) for evaluation
-    return spans_df.join(reassembled, "doc_id", "inner")
+    return reassembled.select("doc_id", "spans", *passthrough, "extracted")
 
 
 def evaluate_extraction(df: DataFrame) -> DataFrame:

@@ -34,9 +34,11 @@ from pyspark.sql.types import ArrayType, IntegerType
 __all__ = [
     "cosine_expr",
     "cosine_topk",
+    "srp_signatures",
     "hyperplane_lsh_topk",
     "ivf_topk",
     "embedding_near_dup_pairs",
+    "srp_candidate_pairs",
 ]
 
 
@@ -102,6 +104,28 @@ def _srp_sig_udf(dim: int, n_bits: int, bands: int, seed: int):
     return sig
 
 
+def srp_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 32,
+    bands: int = 8,
+    seed: int = 13,
+    dim: int | None = None,
+) -> DataFrame:
+    """Add the SRP band-signature column ``_sig`` (array<int>, one hash
+    per band). This is the PERSISTED INDEX for the repeated-query regime:
+    write it once beside the table (partitioned/bucketed by a band hash
+    if probes dominate) and pass it to :func:`hyperplane_lsh_topk` via
+    ``sig_df`` — queries then pay zero signature recompute over 10^12
+    rows."""
+    if n_bits % bands:
+        raise ValueError("bands must divide n_bits")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sig_udf = _srp_sig_udf(dim, n_bits, bands, seed)
+    return df.withColumn("_sig", sig_udf(F.col(vec_col)))
+
+
 def hyperplane_lsh_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -111,16 +135,18 @@ def hyperplane_lsh_topk(
     n_bits: int = 32,
     bands: int = 8,
     seed: int = 13,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: SRP band match → exact cosine rerank.
 
     Candidates are rows sharing at least one band signature with the
     query; the final ordering is exact cosine on that reduced set.
+    Pass ``sig_df`` (a persisted :func:`srp_signatures` table, same
+    n_bits/bands/seed) to skip recomputing signatures per query.
     """
     if n_bits % bands:
         raise ValueError("bands must divide n_bits")
     dim = len(query_vec)
-    sig_udf = _srp_sig_udf(dim, n_bits, bands, seed)
 
     q = np.asarray(query_vec, dtype="float64")
     planes = _srp_planes(dim, n_bits, seed)
@@ -129,7 +155,11 @@ def hyperplane_lsh_topk(
     weights = (1 << np.arange(rows)).astype("int64")
     qsig = [int(qbits[b * rows : (b + 1) * rows] @ weights) for b in range(bands)]
 
-    sigged = df.withColumn("_sig", sig_udf(F.col(vec_col)))
+    sigged = (
+        sig_df
+        if sig_df is not None
+        else srp_signatures(df, vec_col, n_bits, bands, seed, dim)
+    )
     candidates = sigged.filter(
         F.arrays_overlap(
             F.expr(f"transform(_sig, (s, i) -> struct(i as band, s as v))"),
@@ -143,28 +173,47 @@ def hyperplane_lsh_topk(
 
 
 def _ivf_centroids(
-    df: DataFrame, n_centroids: int, vec_col: str, id_col: str, iters: int = 3
+    df: DataFrame, n_centroids: int, vec_col: str, id_col: str, iters: int = 8
 ) -> np.ndarray:
-    """Deterministic IVF codebook: seed centroids from an id-ordered
-    sample, then a few Lloyd iterations on a bounded driver-side sample.
+    """Deterministic IVF codebook: Lloyd iterations on a bounded,
+    HASH-UNIFORM driver-side sample.
 
-    At 10^12 rows the codebook is still tiny (k × dim floats) — training
-    on a sample and broadcasting is the standard IVF recipe; assignment
-    stays fully distributed."""
+    The sample is the top-N rows by ``xxhash64(id)`` — a seeded uniform
+    draw that is (a) independent of id/crawl/shard order, so a corpus
+    whose ids correlate with content can't bias the codebook (the failure
+    mode of head-of-table sampling), (b) bit-deterministic across runs,
+    partitionings, and cluster sizes, and (c) computed by
+    TakeOrderedAndProject (per-partition heap + driver merge — no full
+    sort/shuffle). At 10^12 rows the codebook is still tiny (k × dim
+    floats) — train on the sample, broadcast, assign distributed."""
     sample = np.stack(
         [
             r[0]
-            for r in df.select(vec_col)
-            .orderBy(id_col)
+            for r in df.select(
+                F.col(vec_col), F.xxhash64(F.col(id_col), F.lit(7)).alias("_h")
+            )
+            .orderBy("_h")
             .limit(max(n_centroids * 40, 512))
+            .drop("_h")
             .collect()
         ]
     ).astype("float64")
-    centroids = sample[:: max(len(sample) // n_centroids, 1)][:n_centroids]
+    # k-means++-style spread seeding (deterministic): start from the
+    # first sample point, greedily take the point farthest (by cosine)
+    # from the chosen set — avoids the co-located seeds of stride picks.
+    sn = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
+    chosen = [0]
+    sims = sn @ sn[0]
+    for _ in range(1, min(n_centroids, len(sample))):
+        nxt = int(np.argmin(sims))
+        chosen.append(nxt)
+        sims = np.maximum(sims, sn @ sn[nxt])
+    centroids = sample[chosen].copy()
     for _ in range(iters):
         # cosine assignment on normalized vectors
-        sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-        cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        cn = centroids / np.clip(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12, None
+        )
         assign = (sn @ cn.T).argmax(axis=1)
         for k in range(len(centroids)):
             members = sample[assign == k]
@@ -211,6 +260,47 @@ def ivf_topk(
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
+def srp_candidate_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 32,
+    bands: int = 8,
+    seed: int = 13,
+    dim: int | None = None,
+) -> DataFrame:
+    """Distinct SRP-band-collision id pairs (a < b) — ids only.
+
+    The banded self-join never sees the vector column (plan-asserted in
+    tests): its shuffle rows are (id, band, bval), so candidate discovery
+    over 10^12 rows moves tens of bytes per row, not kilobytes.
+    """
+    if n_bits % bands:
+        raise ValueError("bands must divide n_bits")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sig_udf = _srp_sig_udf(dim, n_bits, bands, seed)
+    sigged = df.select(
+        F.col(id_col).alias("k"), sig_udf(F.col(vec_col)).alias("_sig")
+    )
+    # posexplode_outer: plain posexplode pushes an implicit
+    # size(_sig) > 0 predicate below the projection, which re-evaluates
+    # the signature UDF a second time per row; signatures are never
+    # empty, so outer is semantically identical and single-eval.
+    banded = sigged.select("k", F.posexplode_outer("_sig").alias("band", "bval"))
+    return (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.k") < F.col("r.k")),
+        )
+        .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -222,31 +312,22 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP band self-join for
-    candidates, exact cosine (JVM zip_with/aggregate) as the verdict."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    sig_udf = _srp_sig_udf(dim, n_bits, bands, seed)
-    sigged = df.select(
-        F.col(id_col).alias("k"), F.col(vec_col).alias("v"), sig_udf(F.col(vec_col)).alias("_sig")
-    )
-    banded = sigged.select(
-        "k", "v", F.posexplode("_sig").alias("band", "bval")
-    )
+    candidates, exact cosine (JVM zip_with/aggregate) as the verdict.
+
+    Shuffle discipline for 10^12 rows × KB-scale vectors: the banded
+    self-join carries ONLY (k, band, bval) — 20 bytes/row — never the
+    vectors (which would be duplicated ``bands×`` through the explode and
+    shuffled on both sides). Vectors are attached AFTER the pair-distinct
+    by two narrow id joins, so each survives exactly one shuffle per side
+    (mirrors the candidate-driven shape of
+    ``dedup.ngram_jaccard_pairs(candidates=...)``)."""
+    pairs = srp_candidate_pairs(df, vec_col, id_col, n_bits, bands, seed, dim)
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bval") == F.col("r.bval"))
-            & (F.col("l.k") < F.col("r.k")),
-        )
-        .select(
-            F.col("l.k").alias("a"),
-            F.col("r.k").alias("b"),
-            F.col("l.v").alias("va"),
-            F.col("r.v").alias("vb"),
-        )
-        .dropDuplicates(["a", "b"])
+        pairs.join(vecs, pairs.a == vecs._vid)
+        .select("a", "b", F.col("_v").alias("va"))
+        .join(vecs, F.col("b") == vecs._vid)
+        .select("a", "b", "va", F.col("_v").alias("vb"))
     )
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),

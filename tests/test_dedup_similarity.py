@@ -127,6 +127,97 @@ def test_ivf_topk_recall_vs_brute(embeddings):
     assert ivf == ivf2
 
 
+def test_hot_bucket_cap_and_exact_dedup_composition(spark):
+    """Degenerate LSH buckets (1k byte-identical docs) must not go
+    quadratic: the cap drops them (auditable via hot_buckets, not
+    silent), and the documented exact-dedup-first composition still
+    finds the near-dup structure on the representatives."""
+    from donut_spark.operators.dedup import hot_buckets, minhash_banded
+
+    rows = [(f"c{i:04d}", BASE) for i in range(1000)]
+    rows += [("v1", BASE.replace("lazy", "sleepy")), ("v2", BASE + " tail words")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # capped direct run finishes with zero pairs from the identical mass
+    capped = minhash_lsh_pairs(df, max_bucket_size=50)
+    identical = {f"c{i:04d}" for i in range(1000)}
+    assert not any(
+        r.a in identical and r.b in identical for r in capped.collect()
+    )
+    # the drop is auditable — every band bucket of the identical text is hot
+    hot = hot_buckets(minhash_banded(df), ["band", "band_hash"], 50).collect()
+    assert len(hot) >= 1 and all(r.n_members >= 1000 for r in hot)
+
+    # composition: exact-dedup first, then (uncapped-relevant) LSH
+    reps = exact_dedup(df)
+    assert reps.count() == 3  # c0000 + v1 + v2
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs(reps, max_bucket_size=50).collect()}
+    assert ("c0000", "v1") in pairs or ("c0000", "v2") in pairs
+
+
+def test_srp_candidate_pairs_plan_carries_no_vectors(spark):
+    """The banded self-join must shuffle (id, band, bval) only — the
+    embedding column may not appear anywhere in the candidate-pair plan
+    (it is joined back after the pair-distinct)."""
+    from donut_spark.operators.similarity import srp_candidate_pairs
+
+    rows = [(i, [float(i % 7), 1.0, 0.5, 0.25]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = srp_candidate_pairs(df, n_bits=16, bands=8, dim=4)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    # the vector column may appear ONLY as input to the leaf-side
+    # signature UDF (ArrowEvalPython) or in the source relation itself —
+    # never in a Join/Generate/Project between the UDF and the join
+    for line in plan.splitlines():
+        if "embedding" in line:
+            assert (
+                "ArrowEvalPython" in line
+                or "LogicalRDD" in line
+                or "Relation" in line
+                or line.strip().startswith("+- Project [vec_id")
+                or line.strip().startswith(":  +- Project [vec_id")
+                or "Scan" in line
+            ), f"vector column leaked into the join pipeline: {line}"
+    assert pairs.columns == ["a", "b"]
+    # single signature evaluation per side (posexplode_outer prevents the
+    # size()>0 pushdown that double-evals the UDF)
+    assert plan.count("ArrowEvalPython") == 2
+
+
+def test_ivf_recall_on_unclustered_ood_data(spark):
+    """Verdict item: the codebook must be trained on a content-unbiased
+    sample. Adversarial layout: ids ordered so the head of the table is
+    ONE content cluster (head-sampling would learn only that cluster).
+    recall@20 vs brute-force must still be >= 0.9."""
+    import math
+
+    from donut_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rows = []
+    dim = 16
+    for i in range(400):
+        # ids 0..199 → cluster A (axis 0), 200..399 → spread clusters
+        cluster = 0 if i < 200 else (i % 8)
+        vec = [0.0] * dim
+        vec[cluster] = 1.0
+        vec[(cluster + 8) % dim] = 0.4 * math.sin(i * 1.7)
+        vec[(cluster + 3) % dim] = 0.2 * math.cos(i * 0.9)
+        rows.append((i, [float(v) for v in vec]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    recalls = []
+    for axis in (1, 4, 7):  # query the TAIL clusters a head-sample misses
+        q = [0.0] * dim
+        q[axis] = 1.0
+        brute = {r.vec_id for r in cosine_topk(df, q, k=20).collect()}
+        approx = {
+            r.vec_id
+            for r in ivf_topk(df, q, k=20, n_centroids=12, n_probe=6).collect()
+        }
+        recalls.append(len(brute & approx) / 20)
+    assert min(recalls) >= 0.9, recalls
+
+
 def test_embedding_near_dup_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

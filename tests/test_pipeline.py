@@ -60,6 +60,25 @@ def test_span_mode_matches_doc_mode(spark):
     assert n_diff == 0
 
 
+def test_span_mode_single_scan(spark, tmp_path):
+    """mode='span' must read the source exactly once: gt columns ride
+    the explode shuffle (one copy per doc on the pos==0 row), never a
+    second scan + join of the fact table."""
+    src = str(tmp_path / "spans_src")
+    build_spans_table(spark, SF_SMALL, limit=40).write.parquet(src)
+    df = spark.read.parquet(src)
+    out = extract_documents(df, mode="span")
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_scans = len(re.findall(r"(?:File)?Scan parquet", plan))
+    assert n_scans == 1, f"expected single scan, plan:\n{plan[:2000]}"
+    assert "Join" not in plan
+    # and the carried columns survive intact
+    row = out.filter(F.size("expected") > 0).first()
+    assert row.gt_parse and row.expected is not None and row.spans is not None
+
+
 def test_media_heavy_tail_exists(spark):
     df = build_spans_table(spark, SF_SMALL)
     heavy = df.filter(F.size("spans") >= 48).count()
