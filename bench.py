@@ -67,12 +67,20 @@ def main() -> None:
     results["flagship_extract"] = round(flagship_sec, 3)
     docs_per_sec = agg["docs"] / flagship_sec
 
+    # min-of-2 for every battery query, same rationale as the flagship:
+    # single-shot numbers on this host conflate plan cost with transient
+    # multi-x VM slowdown bursts. The DataFrame is REBUILT each pass —
+    # re-collecting the same object would reuse AQE-materialized shuffle
+    # stages and under-report.
     for name in HEADLINE:
         q = queries[name]
-        t0 = time.perf_counter()
-        df = q(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        results[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 3)
 
     total = sum(results.values())
     print(
