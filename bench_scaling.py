@@ -173,66 +173,66 @@ def main() -> None:
         taskset = shutil.which("taskset")
         if not taskset:
             raise RuntimeError("taskset required for honest CPU budgets")
-        # Both widths run CONCURRENTLY on disjoint pinned CPU sets so the
-        # host VM's minute-scale speed drift (measured ~1.5-2x here) hits
-        # both legs identically and cancels out of the ratio. Pinning is
-        # also what makes "N cores" true at all: in local mode Python UDF
-        # workers are NOT bounded by the master's thread count — an
-        # unpinned local[2] quietly borrows the whole box.
-        cpu_sets = {
-            args.low: f"0-{args.low - 1}",
-            args.high: f"{args.low}-{args.low + args.high - 1}",
+        # Legs run SEQUENTIALLY, alternated (H L H L ...), each pinned to
+        # cpus 0..n-1. Running the two widths concurrently on disjoint
+        # CPU sets — the previous design — measurably depresses the WIDE
+        # leg ~30% on this host (8-cpu leg: ~9,300 docs/s solo vs
+        # ~6,100-6,333 concurrent, while the 2-cpu leg barely moves):
+        # the VM throttles under higher total load, putting a structural
+        # downward bias on the ratio that no amount of repetition fixes.
+        # Sequential alternation + per-leg BEST across sessions is the
+        # honest capability estimate: host noise bursts only ever SLOW a
+        # leg (min-of-N logic, extended across session windows), and
+        # alternating the order means minute-scale drift can't
+        # systematically favor one width. Pinning is also what makes "N
+        # cores" true at all: in local mode Python UDF workers are NOT
+        # bounded by the master's thread count — an unpinned local[2]
+        # quietly borrows the whole box.
+        def run_leg(cpus: int) -> dict:
+            proc = subprocess.run(
+                [
+                    taskset, "-c", f"0-{cpus - 1}",
+                    sys.executable, os.path.abspath(__file__),
+                    "--worker", str(cpus), "--spans-path", spans_path,
+                ],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(f"worker {cpus} failed")
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+
+        legs: dict[int, list] = {args.low: [], args.high: []}
+        for s in range(args.sessions):
+            order = (args.high, args.low) if s % 2 == 0 else (args.low, args.high)
+            for cpus in order:
+                legs[cpus].append(run_leg(cpus))
+
+        best = {
+            cpus: max(runs, key=lambda r: r["docs_per_sec"])
+            for cpus, runs in legs.items()
         }
-
-        def one_session() -> dict:
-            procs = {}
-            for cpus in (args.low, args.high):
-                procs[cpus] = subprocess.Popen(
-                    [
-                        taskset,
-                        "-c",
-                        cpu_sets[cpus],
-                        sys.executable,
-                        os.path.abspath(__file__),
-                        "--worker",
-                        str(cpus),
-                        "--spans-path",
-                        spans_path,
-                    ],
-                    stdout=subprocess.PIPE,
-                    stderr=subprocess.DEVNULL,
-                    text=True,
-                    cwd=os.path.dirname(os.path.abspath(__file__)),
-                )
-            runs = {}
-            for cpus, proc in procs.items():
-                out, _ = proc.communicate()
-                if proc.returncode != 0:
-                    raise RuntimeError(f"worker {cpus} failed")
-                runs[cpus] = json.loads(out.strip().splitlines()[-1])
-            low, high = runs[args.low], runs[args.high]
-            ratio = high["docs_per_sec"] / low["docs_per_sec"]
-            return {
-                "low": low,
-                "high": high,
-                "speedup": round(ratio, 3),
-                "scaling_efficiency": round(ratio / (args.high / args.low), 3),
-            }
-
-        sessions = [one_session() for _ in range(args.sessions)]
-        best = max(sessions, key=lambda s: s["scaling_efficiency"])
+        low, high = best[args.low], best[args.high]
+        ratio = high["docs_per_sec"] / low["docs_per_sec"]
+        ideal = args.high / args.low
         print(
             json.dumps(
                 {
                     "staged_docs": n,
-                    "low": best["low"],
-                    "high": best["high"],
-                    "speedup": best["speedup"],
-                    "ideal": args.high / args.low,
-                    "scaling_efficiency": best["scaling_efficiency"],
-                    "sessions": [s["scaling_efficiency"] for s in sessions],
-                    "methodology": "best of {} concurrent-pinned sessions, "
-                    "min-of-5 warm runs per leg".format(args.sessions),
+                    "low": low,
+                    "high": high,
+                    "speedup": round(ratio, 3),
+                    "ideal": ideal,
+                    "scaling_efficiency": round(ratio / ideal, 3),
+                    "all_runs": {
+                        str(cpus): [r["docs_per_sec"] for r in runs]
+                        for cpus, runs in legs.items()
+                    },
+                    "methodology": (
+                        "sequential alternated pinned legs, min-of-5 warm "
+                        "runs per leg per session, per-leg best of "
+                        f"{args.sessions} sessions"
+                    ),
                 }
             )
         )

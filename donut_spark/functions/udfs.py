@@ -106,6 +106,39 @@ def _extract_spans_json(spans_json: pd.Series) -> pd.Series:
     )
 
 
+EXTRACT_ERR_SCHEMA = StructType(
+    [
+        StructField("extracted_json", StringType()),
+        StructField("_error", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(EXTRACT_ERR_SCHEMA)
+def _extract_spans_err(spans_json: pd.Series) -> pd.DataFrame:
+    """Extraction body with the S11 error channel: a poison document
+    yields ([], error string) instead of failing the task — the
+    gt-free twin of ``_extract_eval_fused``'s quarantine path, used by
+    ``extract_documents(mode='doc')`` and therefore the streaming twin
+    (a streaming query MUST never die on one bad record)."""
+    loads, dumps = json.loads, json.dumps
+    rows = []
+    for doc_json in spans_json:
+        try:
+            rows.append(
+                (
+                    dumps(
+                        _extract_one(loads(doc_json) if doc_json else []),
+                        ensure_ascii=False,
+                    ),
+                    None,
+                )
+            )
+        except Exception as exc:  # noqa: BLE001 — quarantine, never fail
+            rows.append(("[]", f"{type(exc).__name__}: {exc}"))
+    return pd.DataFrame(rows, columns=["extracted_json", "_error"])
+
+
 EVAL_SCHEMA = StructType(
     [
         StructField("extracted_json", StringType()),

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import (
     extract_pieces,
-    extract_spans,
     json2token_udf,
     nted_udf,
     roundtrip_ok_udf,
@@ -61,9 +60,24 @@ def extract_documents(
     df = spans_df.filter(F.size("spans") > 0)
 
     if mode == "doc":
+        from pyspark.sql.types import ArrayType
+
+        from ..functions.udfs import _extract_spans_err
+        from ..sources.fixtures import SPAN_SCHEMA
+
         if decluster_input:
             df = decluster(df)
-        return df.withColumn("extracted", extract_spans(F.col("spans")))
+        # error-channel variant of extract_spans: poison docs land in the
+        # _error column (quarantine) instead of failing the task/stream
+        return (
+            df.withColumn("_ex", _extract_spans_err(F.to_json("spans")))
+            .withColumn(
+                "extracted",
+                F.from_json(F.col("_ex.extracted_json"), ArrayType(SPAN_SCHEMA)),
+            )
+            .withColumn("_error", F.col("_ex._error"))
+            .drop("_ex")
+        )
 
     if mode != "span":
         raise ValueError(f"unknown mode: {mode}")

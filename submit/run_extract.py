@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Production extraction entrypoint (the north-rule deployment shape):
+
+    spark-submit --master <cluster> \\
+        --py-files dist/donut_spark.zip \\
+        submit/run_extract.py \\
+        --input  <spans table path>  \\
+        --output <output root>       \\
+        [--resume --n-buckets 4096] [--mode doc|span]
+
+Input: a table of interleaved documents ``(doc_id string, spans
+array<struct<kind,text,media_ref,offset:int>> [, expected, gt_parse])``
+— parquet or (when the session has an Iceberg catalog configured) an
+Iceberg table name.
+
+Output layout under ``--output``:
+    data/        extracted documents (parquet; ``_bucket=`` partitions in
+                 resume mode, written with dynamic partition overwrite)
+    quarantine/  rows whose extraction errored (``_error`` column) —
+                 the job never fails on a poison document
+    lineage/     per-partition (n_docs, n_spans, order-insensitive
+                 checksum) audit rows
+    _commits/    bucket commit log (resume mode)
+
+All session tuning comes from ``donut_spark.sources.session.ENGINE_CONF``
+defaults + whatever ``--conf`` the submitter passes (submitter wins).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", choices=("doc", "span"), default="doc")
+    ap.add_argument("--resume", action="store_true",
+                    help="bucket-checkpointed idempotent run (S10)")
+    ap.add_argument("--n-buckets", type=int, default=256)
+    args = ap.parse_args()
+
+    # Imports AFTER argparse: on an executor-shipped zip this module is
+    # driver-side, but failing fast on bad args shouldn't need the JVM.
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from donut_spark.operators.extract import extract_and_evaluate, extract_documents
+    from donut_spark.plans.lineage import lineage_metrics, quarantine_split
+    from donut_spark.sources.session import ENGINE_CONF
+
+    builder = SparkSession.builder.appName("donut_spark_extract")
+    for key, value in ENGINE_CONF.items():
+        # submitter --conf wins: builder.config only fills unset keys when
+        # the session doesn't exist yet; explicit precedence via getAll
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+
+    spans = spark.read.parquet(args.input)
+
+    def extract(df):
+        if args.mode == "doc" and "gt_parse" in df.columns:
+            return extract_and_evaluate(df)
+        out = extract_documents(df, mode=args.mode)
+        if "_error" not in out.columns:
+            out = out.withColumn("_error", F.lit(None).cast("string"))
+        return out
+
+    if args.resume:
+        from donut_spark.operators.checkpoint import run_resumable
+
+        # extract() preserves every input column, so _bucket flows through
+        done = run_resumable(
+            spark, spans, extract, args.output, n_buckets=args.n_buckets
+        )
+        written = spark.read.parquet(f"{args.output}/data")
+        result, bad = quarantine_split(written)
+        print(f"resumable run: processed buckets {done}")
+    else:
+        evaluated = extract(spans)
+        result, bad = quarantine_split(evaluated)
+        result.write.mode("overwrite").parquet(f"{args.output}/data")
+        result = spark.read.parquet(f"{args.output}/data")
+    bad.write.mode("overwrite").parquet(f"{args.output}/quarantine")
+
+    lineage_metrics(result).write.mode("overwrite").parquet(
+        f"{args.output}/lineage"
+    )
+    n = result.count()
+    print(f"extracted {n} documents -> {args.output}/data")
+
+
+if __name__ == "__main__":
+    main()

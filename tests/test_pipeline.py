@@ -307,6 +307,43 @@ def test_streaming_extraction(spark, tmp_path):
     assert out.count() == 40
 
 
+def test_streaming_poison_doc_survives(spark, tmp_path):
+    """A streaming query must never die on one bad record: the poison doc
+    flows to the _error column, healthy docs keep extracting."""
+    from donut_spark.sources.fixtures import SPANS_TABLE_SCHEMA, synth_doc
+    from donut_spark.streaming.stream import stream_extract_from_files
+
+    src = str(tmp_path / "poison_src")
+    sink = str(tmp_path / "poison_sink")
+    ckpt = str(tmp_path / "poison_ckpt")
+    rows = []
+    for i in range(5):
+        spans, expected, gt = synth_doc(f"ok_{i}", "alpha beta gamma")
+        rows.append((f"ok_{i}", spans, expected, gt))
+    bomb = "<div>" * 4000 + "x" + "</div>" * 4000
+    rows.append(
+        ("poison", [{"kind": "text", "text": bomb, "media_ref": "", "offset": 0}],
+         [], "{}")
+    )
+    spark.createDataFrame(rows, SPANS_TABLE_SCHEMA).write.parquet(src)
+
+    q = (
+        stream_extract_from_files(spark, src, max_files_per_trigger=2)
+        .select("doc_id", "extracted", "_error")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 6
+    bad = out.filter(F.col("_error").isNotNull()).collect()
+    assert [r.doc_id for r in bad] == ["poison"]
+    assert "RecursionError" in bad[0]._error
+
+
 def test_stateful_sessionize(spark, tmp_path):
     """Custom stateful op: gap sessionization over a real event stream."""
     from donut_spark.streaming.stream import sessionize

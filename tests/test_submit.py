@@ -1,0 +1,66 @@
+"""Deployment-shape test: the engine must actually ship via
+``spark-submit --py-files dist/donut_spark.zip`` (north-rule run mode).
+
+The subprocess runs with cwd OUTSIDE the repo and a scrubbed PYTHONPATH,
+so ``import donut_spark`` can only be satisfied by the zip artifact —
+this catches packaging regressions (missing module, non-zip-safe code).
+"""
+
+import os
+import subprocess
+import sys
+
+import pyspark
+from pyspark.sql import functions as F
+
+from donut_spark.sources.fixtures import build_spans_table
+from tests.conftest import SF_SMALL
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
+    # stage a small spans input with the session we already have
+    src = str(tmp_path / "spans_in")
+    build_spans_table(spark, SF_SMALL, limit=30).write.parquet(src)
+
+    # build the shipping artifact
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "package.py")],
+        capture_output=True, text=True, check=True,
+    )
+    zip_path = out.stdout.strip().splitlines()[-1]
+    assert zip_path.endswith("donut_spark.zip") and os.path.exists(zip_path)
+
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    out_dir = str(tmp_path / "extract_out")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_HOME")
+    }
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            os.path.join(REPO, "submit", "run_extract.py"),
+            "--input", src,
+            "--output", out_dir,
+        ],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "extracted 30 documents" in proc.stdout
+
+    data = spark.read.parquet(f"{out_dir}/data")
+    assert data.count() == 30
+    agg = data.agg(
+        F.avg("exact_match").alias("em"), F.avg("roundtrip_ok").alias("rt")
+    ).first()
+    assert agg.em == 1.0 and agg.rt == 1.0
+    lineage = spark.read.parquet(f"{out_dir}/lineage")
+    assert lineage.agg(F.sum("n_docs")).first()[0] == 30
