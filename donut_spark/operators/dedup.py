@@ -114,8 +114,11 @@ def minhash_banded(
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     rows = num_perm // bands
-    sig = df.select(
-        F.col(key).alias("k"),
+    from ..plans.skew import maybe_decluster
+
+    src = maybe_decluster(df.select(F.col(key).alias("k"), F.col(text_col)), "k")
+    sig = src.select(
+        "k",
         minhash_udf(num_perm, shingle_k, seed)(F.col(text_col)).alias("sig"),
     )
     # posexplode_outer: avoids the implicit size()>0 pushdown that would
@@ -187,9 +190,10 @@ def simhash_pairs(
     ``max_bucket_size`` guards degenerate chunk buckets exactly like
     :func:`minhash_lsh_pairs` (compose with :func:`exact_dedup` first;
     audit with :func:`hot_buckets` on (chunk, chunk_val))."""
-    sig = df.select(
-        F.col(key).alias("k"), simhash_udf(F.col(text_col)).alias("sh")
-    )
+    from ..plans.skew import maybe_decluster
+
+    src = maybe_decluster(df.select(F.col(key).alias("k"), F.col(text_col)), "k")
+    sig = src.select("k", simhash_udf(F.col(text_col)).alias("sh"))
     chunks = sig.select(
         "k",
         "sh",

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["decluster", "salt_heavy", "with_weight_bucket"]
+__all__ = ["decluster", "maybe_decluster", "salt_heavy", "with_weight_bucket"]
 
 
 def decluster(df: DataFrame, key: str = "doc_id", num_partitions: int | None = None) -> DataFrame:
@@ -37,6 +37,23 @@ def decluster(df: DataFrame, key: str = "doc_id", num_partitions: int | None = N
     if not num_partitions:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
     return df.repartition(num_partitions, F.col(key))
+
+
+def maybe_decluster(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Decluster ONLY when the source yields fewer partitions than the
+    cluster's parallelism.
+
+    The case this exists for: a small/local input arrives as 1-2 scan
+    splits and a downstream pandas-UDF stage inherits that width, pinning
+    all Python compute to one core. At corpus scale the scan already
+    yields thousands of splits, the condition is false, and NO exchange
+    is added — repartitioning 100 TB of raw text to fix a problem it
+    doesn't have would be the real bug.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target * 2, F.col(key))
 
 
 def with_weight_bucket(df: DataFrame, weight: Column, heavy_threshold: int = 48) -> DataFrame:
