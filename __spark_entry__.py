@@ -512,19 +512,30 @@ def q28_ann_lsh(spark, sf):
 
 
 def q29_multimodal(spark, sf):
-    """Multimodal plumbing: media table synth → decode/featurize →
-    broadcast join back to spans."""
+    """Multimodal plumbing: media table synth → decode/featurize.
+
+    Oracle-backed on the PIPELINE invariants: the distinct media-ref set
+    (explode → kind filter → distinct over the fixture), feature
+    dimensionality, and metadata bounds. The fake codec's exact hash
+    values (width/height) stay pinned by pytest determinism tests — they
+    are stand-ins for PIL output, not engine behavior."""
     from donut_spark.operators.multimodal import (
         decode_and_featurize,
         synth_media_table,
     )
-    from donut_spark.sources.fixtures import build_spans_table
+    from donut_spark.sources.fixtures import load_spans
 
-    spans = build_spans_table(spark, sf, limit=100)
+    spans = load_spans(spark, sf).filter(F.col("doc_id").cast("long") < 100)
     media = synth_media_table(spark, spans)
     feats = decode_and_featurize(media)
     return feats.select(
-        "media_ref", "width", "height", F.size("features").alias("feat_dim")
+        "media_ref",
+        F.size("features").alias("feat_dim"),
+        (
+            F.col("width").between(64, 575) & F.col("height").between(64, 575)
+        )
+        .cast("int")
+        .alias("meta_ok"),
     )
 
 
@@ -1062,6 +1073,15 @@ def _oracle_sql_for(fx: str) -> dict[str, str]:
             ORDER BY token_len DESC, doc_id
             LIMIT 5
         """,
+        "q29_multimodal": f"""
+            SELECT DISTINCT s.media_ref AS media_ref,
+                   CAST(8 AS INT) AS feat_dim,
+                   CAST(1 AS INT) AS meta_ok
+            FROM (SELECT unnest(spans) AS s
+                  FROM read_parquet('{fx}')
+                  WHERE CAST(doc_id AS BIGINT) < 100)
+            WHERE s.kind = 'media'
+        """,
         "q45_multi_gt": """
             SELECT CAST(doc_id AS VARCHAR) AS file_name,
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT)
@@ -1069,8 +1089,8 @@ def _oracle_sql_for(fx: str) -> dict[str, str]:
                    CAST(1.0 AS DOUBLE) AS best_nted
             FROM documents
         """,
-        # q24..q26, q28..q30, q38, q41, q42: LSH/ANN/multimodal/TEDS-pair
-        # kernels — not SQL-expressible; driver records rows-only checks
-        # (their kernels are pinned by pytest goldens + the oracle-backed
-        # q15/q20/q22/q23/q27/q36/q43 relatives).
+        # q24..q26, q28, q30, q38, q41, q42: LSH/ANN/TEDS-pair kernels —
+        # not SQL-expressible; driver records rows-only checks (their
+        # kernels are pinned by pytest goldens + the oracle-backed
+        # q15/q20/q22/q23/q27/q29/q36/q43 relatives).
     }
