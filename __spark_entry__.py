@@ -1019,6 +1019,25 @@ def _oracle_sql_for(fx: str) -> dict[str, str]:
             SELECT doc_id, CAST(1 AS INT) AS exact_match
             FROM read_parquet('{fx}')
         """,
+        # Spec oracle for the repair grammar (reference teds.py:115-133):
+        # unclosed <td>/<tr> are closed, the fused 'tdcolspan="2"' token is
+        # split into an attribute, thead/tbody survive, everything wraps in
+        # <table>; stats recover row/col counts incl. colspan; TEDS(x,x)=1.
+        # These expected strings are hand-derived from the reference rules,
+        # not captured from the kernel.
+        "q30_table_ops": """
+            SELECT * FROM (VALUES
+              ('t1',
+               '<table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>',
+               CAST(2 AS INT), CAST(2 AS INT), CAST(1.0 AS DOUBLE)),
+              ('t2',
+               '<table><thead><tr><td>h</td></tr></thead><tbody><tr><td>x</td></tr></tbody></table>',
+               CAST(2 AS INT), CAST(1 AS INT), CAST(1.0 AS DOUBLE)),
+              ('t3',
+               '<table><tr><td colspan="2">m</td><td>n</td></tr></table>',
+               CAST(1 AS INT), CAST(3 AS INT), CAST(1.0 AS DOUBLE))
+            ) t(tbl_id, html, nums_row, nums_col, teds_self)
+        """,
         # analytic spec of the deterministic table generator + TEDS(x,x)=1
         "q40_synth_tables": """
             SELECT 'tbl_' || CAST(sid AS VARCHAR) AS tbl_id,
