@@ -79,6 +79,22 @@ def test_span_mode_single_scan(spark, tmp_path):
     assert row.gt_parse and row.expected is not None and row.spans is not None
 
 
+def test_flagship_plan_exchange_free(spark):
+    """The fused flagship plan must stay map-only: one parquet scan, ONE
+    ArrowEvalPython node (the fused kernel), zero Exchange — scan splits
+    provide all parallelism, nothing shuffles at 100 TB."""
+    import re
+
+    from donut_spark.operators.extract import extract_and_evaluate
+    from donut_spark.sources.fixtures import load_spans
+
+    df = extract_and_evaluate(load_spans(spark, SF_SMALL))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert len(re.findall(r"(?:File)?Scan parquet", plan)) == 1
+
+
 def test_media_heavy_tail_exists(spark):
     df = build_spans_table(spark, SF_SMALL)
     heavy = df.filter(F.size("spans") >= 48).count()
