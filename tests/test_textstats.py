@@ -82,3 +82,27 @@ def test_jaccard():
     assert jaccard(["a", "b"], ["a", "b"]) == 1.0
     assert jaccard(["a"], ["b"]) == 0.0
     assert jaccard([], []) == 1.0
+
+
+def test_mulmod_exact_property():
+    """The limb-arithmetic universal hash must equal Python big-int math
+    for arbitrary (a, b, x) — the uint64-wrap bug class this replaces."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from donut_spark.core.textstats import _MERSENNE, _mulmod_p, _reduce_p
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        a=st.integers(min_value=1, max_value=_MERSENNE - 1),
+        b=st.integers(min_value=0, max_value=_MERSENNE - 1),
+        x=st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def check(a, b, x):
+        av = np.array([a], dtype=np.uint64)
+        xv = np.array([x], dtype=np.uint64)
+        got = int(_reduce_p(_mulmod_p(av, xv) + np.uint64(b))[0])
+        assert got == (a * x + b) % _MERSENNE
+
+    check()
