@@ -679,6 +679,35 @@ def q42_embedding_neardup(spark, sf):
     ).withColumn("cosine", F.round("cosine", 6)).orderBy("a", "b")
 
 
+def q46_boilerplate_strip(spark, sf):
+    """Readability-style main-content extraction (north-star
+    'boilerplate/background stripping via text-density and region
+    heuristics'): every document is wrapped JVM-side in realistic page
+    chrome (nav, link-farm sidebar, ad block, footer); the extractor must
+    recover EXACTLY the original text. Oracle: the unwrapped documents
+    table itself."""
+    from donut_spark.functions.udfs import main_content_udf
+
+    d = _sf(sf)(spark, "documents").filter(F.col("doc_id") < 200)
+    page = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/c">Contact</a></nav><div class="sidebar">'
+            '<a href="/x">Link one</a> <a href="/y">Link two</a> '
+            '<a href="/z">Link three</a></div><div id="main"><p>'
+        ),
+        F.col("text"),
+        F.lit(
+            '</p></div><div class="ads"><a href="/buy">BUY NOW</a></div>'
+            '<footer><a href="/privacy">Privacy</a> (c) 2026 Example Corp'
+            "</footer></body></html>"
+        ),
+    )
+    return d.select(
+        "doc_id", main_content_udf(page).alias("main_text")
+    )
+
+
 def q45_multi_gt(spark, sf):
     """S2 multi-ground-truth branch (`donut/util.py:75-82`): DocVQA-shaped
     envelopes where even docs carry a gt_parses LIST (true + decoy), odd a
@@ -751,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_jaccard_exact": q43_jaccard_exact,
         "q44_max_token_len": q44_max_token_len,
         "q45_multi_gt": q45_multi_gt,
+        "q46_boilerplate_strip": q46_boilerplate_strip,
     }
 
 
@@ -1100,6 +1130,10 @@ def _oracle_sql_for(fx: str) -> dict[str, str]:
                   FROM read_parquet('{fx}')
                   WHERE CAST(doc_id AS BIGINT) < 100)
             WHERE s.kind = 'media'
+        """,
+        "q46_boilerplate_strip": """
+            SELECT doc_id, text AS main_text
+            FROM documents WHERE doc_id < 200
         """,
         "q45_multi_gt": """
             SELECT CAST(doc_id AS VARCHAR) AS file_name,

@@ -41,6 +41,8 @@ __all__ = [
     "normalize_dom",
     "clean_table_html",
     "extract_main_text",
+    "extract_main_content",
+    "strip_boilerplate_dom",
     "html_to_spans",
     "repair_table_html",
     "postprocess_sequence",
@@ -386,3 +388,88 @@ def classify_charset(text: str) -> Optional[str]:
         if CHARSET_PATTERNS[name].search(text):
             return name
     return None
+
+
+# ---------------------------------------------------------------------------
+# Readability-style boilerplate block pruning (text-density heuristics)
+# ---------------------------------------------------------------------------
+#
+# The reference's SynthDoG pipeline generates documents WITHOUT web chrome,
+# so its normalization passes never face nav bars / footers / link farms.
+# The deployment target (BASELINE.json north_star: "boilerplate/background
+# stripping via text-density and region heuristics ... readability-style
+# block scoring") DOES: crawled pages carry chrome that must not reach the
+# extracted spans. This implements the public arc90-readability heuristic
+# family: structural kill tags, boilerplate id/class names, and
+# link-density pruning of low-text blocks.
+
+_KILL_TAGS = ("nav", "footer", "aside", "script", "style", "form", "noscript")
+_BLOCK_CANDIDATES = ("div", "section", "header", "ul", "ol", "table")
+_BOILER_NAME_RE = re.compile(
+    r"nav|menu|footer|header|sidebar|side-bar|banner|breadcrumb|advert|"
+    r"\bads?\b|promo|cookie|share|social|comment|related|widget|popup",
+    re.IGNORECASE,
+)
+
+
+def _block_text_stats(node: HNode) -> Tuple[int, int]:
+    """(total text length, anchor-text length) of a block, collapsed."""
+    total = len(collapse_whitespace(node.text).strip())
+    link = sum(
+        len(collapse_whitespace(a.text).strip()) for a in node.find_all("a")
+    )
+    return total, link
+
+
+def strip_boilerplate_dom(
+    root: HNode,
+    max_link_density: float = 0.4,
+    min_content_chars: int = 200,
+) -> HNode:
+    """Prune boilerplate blocks in place and return ``root``.
+
+    Three passes (each a single traversal; document-size linear):
+    1. kill structural chrome tags outright (nav/footer/aside/script/...);
+    2. kill blocks whose id/class names boilerplate (menu, sidebar, ads…);
+    3. kill low-text blocks dominated by links: link_density >
+       ``max_link_density`` AND text shorter than ``min_content_chars``
+       (a long article that happens to cite many links survives).
+    """
+    for _ in range(2):  # nested chrome: second pass catches re-parented text
+        index, parents = _index(root, _KILL_TAGS + _BLOCK_CANDIDATES)
+        changed = False
+        for tag in _KILL_TAGS:
+            for node in index.get(tag, []):
+                p = parents.get(id(node))
+                if p is not None and p.replace_child(node, HNode(None, data=" ")):
+                    changed = True
+        for tag in _BLOCK_CANDIDATES:
+            for node in index.get(tag, []):
+                name_blob = " ".join(
+                    str(node.attrs.get(k, "")) for k in ("id", "class", "role")
+                )
+                boiler_name = bool(_BOILER_NAME_RE.search(name_blob))
+                if not boiler_name:
+                    total, link = _block_text_stats(node)
+                    if total == 0:
+                        continue
+                    if link / total <= max_link_density or total >= min_content_chars:
+                        continue
+                p = parents.get(id(node))
+                if p is not None and p.replace_child(node, HNode(None, data=" ")):
+                    changed = True
+        if not changed:
+            break
+    return root
+
+
+def extract_main_content(html: str) -> str:
+    """Main-content text of a full page: boilerplate block pruning
+    (readability heuristics above) → reference normalization passes →
+    collapsed descendant text. The crawl-facing entry point; for chrome-free
+    reference-style fragments it degrades to :func:`extract_main_text`."""
+    root = strip_boilerplate_dom(parse_html(html))
+    root = normalize_dom(root, remove_img_tag=True)
+    for img in list(root.find_all("img")):
+        img.replace_with_text(root, " ")
+    return collapse_whitespace(root.text).strip()

@@ -39,6 +39,7 @@ __all__ = [
     "extract_spans",
     "extract_spans_json",
     "extract_text",
+    "main_content_udf",
     "clean_table",
     "repair_table",
     "json2token_udf",
@@ -245,6 +246,14 @@ def extract_pieces(html_col) -> "F.Column":
 def extract_text(html: pd.Series) -> pd.Series:
     """HTML fragment → main-content text (T8 applied document-wide)."""
     return html.map(lambda h: htmlnorm.extract_main_text(h or ""))
+
+
+@F.pandas_udf(StringType())
+def main_content_udf(html: pd.Series) -> pd.Series:
+    """Full crawled page → main-content text: readability-style block
+    pruning (kill tags, boilerplate names, link-density) before the
+    reference normalization passes."""
+    return html.map(lambda h: htmlnorm.extract_main_content(h or ""))
 
 
 @F.pandas_udf(StringType())

@@ -211,3 +211,55 @@ def test_classify_charset():
     assert classify_charset("ひらがな") == "japanese"
     assert classify_charset("中文") == "chinese"
     assert classify_charset("plain english") == "english"
+
+
+class TestBoilerplateStrip:
+    """Readability-style block pruning (north-star text-density and
+    region heuristics)."""
+
+    def test_chrome_killed_content_kept(self):
+        from donut_spark.core.htmlnorm import extract_main_content
+
+        page = (
+            '<html><body><nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+            '<div class="sidebar"><a href="/x">L1</a> <a href="/y">L2</a></div>'
+            '<div id="main"><p>actual article body text</p></div>'
+            '<div class="ads"><a href="/buy">BUY NOW</a></div>'
+            '<footer>(c) 2026</footer></body></html>'
+        )
+        assert extract_main_content(page) == "actual article body text"
+
+    def test_link_farm_density_pruned_without_class_hint(self):
+        from donut_spark.core.htmlnorm import extract_main_content
+
+        page = (
+            "<div><a href=1>x</a> <a href=2>y</a> <a href=3>z</a></div>"
+            "<div><p>real content stays</p></div>"
+        )
+        assert extract_main_content(page) == "real content stays"
+
+    def test_long_article_with_links_survives(self):
+        from donut_spark.core.htmlnorm import extract_main_content
+
+        body = "word " * 60 + '<a href="/ref">citation link</a>'
+        out = extract_main_content(f"<div>{body}</div>")
+        assert out.startswith("word word") and "citation link" in out
+
+    def test_nested_chrome_second_pass(self):
+        from donut_spark.core.htmlnorm import extract_main_content
+
+        page = (
+            '<div class="wrapper"><nav><a>A</a></nav>'
+            '<div class="menu"><div class="inner"><a>B</a> <a>C</a></div></div>'
+            "<p>kept</p></div>"
+        )
+        assert extract_main_content(page) == "kept"
+
+    def test_chrome_free_fragment_unchanged(self):
+        from donut_spark.core.htmlnorm import (
+            extract_main_content,
+            extract_main_text,
+        )
+
+        frag = "<h1>Title</h1><p>body text</p><ul><li>item</li></ul>"
+        assert extract_main_content(frag) == extract_main_text(frag)
