@@ -733,6 +733,21 @@ def q45_multi_gt(spark, sf):
     )
 
 
+def q47_neardup_clusters(spark, sf):
+    """Near-dup CLUSTERS (not just pairs): exact n-gram Jaccard pairs →
+    connected components via iterative min-label propagation. Oracle:
+    DuckDB recomputes the same components with a recursive CTE over an
+    independently-derived pair list — both the pair discovery AND the
+    transitive closure are double-implemented."""
+    from donut_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _sf(sf)(spark, "documents").filter(F.col("doc_id") < 120)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.3)
+    return connected_components(pairs).select(
+        F.col("v").alias("doc_id"), "cluster"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -781,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_max_token_len": q44_max_token_len,
         "q45_multi_gt": q45_multi_gt,
         "q46_boilerplate_strip": q46_boilerplate_strip,
+        "q47_neardup_clusters": q47_neardup_clusters,
     }
 
 
@@ -1100,6 +1116,40 @@ def _oracle_sql_for(fx: str) -> dict[str, str]:
             JOIN sizes sa ON sa.k = a
             JOIN sizes sb ON sb.k = b
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
+        """,
+        # transitive closure twin: the same Jaccard pair list (see
+        # q43_jaccard_exact) closed into components with a recursive CTE
+        "q47_neardup_clusters": """
+            WITH RECURSIVE words AS (
+              SELECT doc_id AS k, regexp_split_to_array(lower(text), '\\s+') AS w
+              FROM documents WHERE doc_id < 120
+            ), sh AS (
+              SELECT k, unnest(list_distinct(list_filter(
+                  list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+                                 i -> array_to_string(w[i+1:i+3], ' ')),
+                  x -> x <> ''))) AS sh
+              FROM words
+            ), sizes AS (
+              SELECT k, count(*) AS sz FROM sh GROUP BY k
+            ), inter AS (
+              SELECT l.k AS a, r.k AS b, count(*) AS n_inter
+              FROM sh l JOIN sh r ON l.sh = r.sh AND l.k < r.k
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.k = a
+              JOIN sizes sb ON sb.k = b
+              WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
+            ), edges AS (
+              SELECT a AS s, b AS d FROM pairs
+              UNION ALL SELECT b, a FROM pairs
+            ), reach(v, label) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.v
+            )
+            SELECT v AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+            FROM reach GROUP BY v
         """,
         # analytic token-sequence length from the gt_parse tag algebra:
         # len = |<s_doc></s_doc><s_title></s_title><s_items></s_items>| (53)

@@ -33,6 +33,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "connected_components",
     "minhash_banded",
     "hot_buckets",
 ]
@@ -221,6 +222,52 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair list → (v, cluster).
+
+    Iterative min-label propagation (the standard Spark CC shape:
+    alternate a neighbor-min join with a groupBy-min merge until no label
+    changes; converges in O(diameter) rounds, and near-dup graphs are
+    shallow). Each round is two shuffles on the vertex key;
+    ``localCheckpoint`` cuts the lineage so round N's plan doesn't replay
+    rounds 1..N-1 — the property that matters when the edge list is
+    10^9+ rows. Labels are the MIN vertex id per component, giving the
+    deterministic 'keeper' election for dedup
+    (compose: exact_dedup → minhash_lsh_pairs → ngram_jaccard_pairs →
+    connected_components → keep rows where v == cluster)."""
+    edges = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    labels = sym.select(F.col("s").alias("v")).distinct().withColumn(
+        "cluster", F.col("v")
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.d == labels.v).select(
+            F.col("s").alias("v"), "cluster"
+        )
+        new_labels = (
+            nbr.union(labels)
+            .groupBy("v")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster", "_old"), "v"
+            )
+            .filter(F.col("cluster") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v"), F.col("cluster"))
 
 
 def ngram_jaccard_pairs(

@@ -229,3 +229,30 @@ def test_embedding_near_dup_pairs(spark):
     found = {(r.a, r.b) for r in pairs}
     assert (1, 2) in found
     assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_connected_components_transitive(spark):
+    """Chained pairs (a-b, b-c) must merge into ONE component with the
+    min id as its label; disjoint pairs stay separate."""
+    from donut_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11), (20, 21), (21, 22)], ["a", "b"]
+    )
+    got = {r.v: r.cluster for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_cluster_composition(planted):
+    """The full dedup pipeline: exact dedup -> LSH candidates -> exact
+    Jaccard verify -> connected components -> keeper election."""
+    from donut_spark.operators.dedup import connected_components
+
+    reps = exact_dedup(planted)  # drops d2 (byte-identical to d1)
+    cands = minhash_lsh_pairs(reps, bands=32, num_perm=128)
+    verified = ngram_jaccard_pairs(reps, threshold=0.3, candidates=cands)
+    comps = {r.v: r.cluster for r in connected_components(verified).collect()}
+    # d1, d3, d6 are one near-dup cluster with keeper d1
+    assert comps.get("d3") == "d1" and comps.get("d6") == "d1"
+    # the disjoint docs never appear in any component (no edges)
+    assert "d4" not in comps and "d5" not in comps
