@@ -96,5 +96,33 @@ def run_resumable(
         for name in os.listdir(data_dir)
         if name.startswith("_bucket=") and int(name.split("=")[1]) not in done
     )
+
+    # Per-bucket lineage ALONGSIDE the commit markers (north-rule: any
+    # partition can resume idempotently AND prove what it holds): row
+    # count + order-insensitive checksum per bucket, recomputed from the
+    # files just written — auditing what's on disk, not the plan. Same
+    # dynamic-overwrite discipline as the data, so a resumed bucket
+    # replaces its lineage row.
+    if written:
+        fresh = spark.read.parquet(data_dir).filter(F.col("_bucket").isin(written))
+        payload = [c for c in fresh.columns if c != "_bucket"]
+        lineage = (
+            fresh.withColumn(
+                "_rowhash", F.xxhash64(F.to_json(F.struct(*payload)))
+            )
+            .groupBy("_bucket")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.expr("bit_xor(_rowhash)").alias("checksum"),
+            )
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            lineage.write.mode("overwrite").partitionBy("_bucket").parquet(
+                os.path.join(out_path, "lineage")
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
     mark_committed(out_path, written)
     return written

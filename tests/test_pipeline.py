@@ -131,6 +131,11 @@ def test_checkpoint_resume(spark, tmp_path):
     # all rows present exactly once
     written = spark.read.parquet(os.path.join(out, "data"))
     assert written.count() == docs.count()
+    # per-bucket lineage written alongside the commit log
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lineage.count() == 8
+    assert lineage.agg(F.sum("n_rows")).first()[0] == docs.count()
+    assert lineage.filter(F.col("checksum").isNull()).count() == 0
 
 
 def test_checkpoint_crash_window_no_duplicates(spark, tmp_path):
