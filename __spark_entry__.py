@@ -666,6 +666,20 @@ def q41_ann_ivf(spark, sf):
     )
 
 
+def q48_ann_ivf_full(spark, sf):
+    """IVF with every cell probed — the exactness regime: codebook
+    training (hash-uniform sample + Lloyd), vectorized cell assignment,
+    probe selection, and exact rerank all run, and the result must equal
+    brute-force cosine top-k (oracle-backed). q41 keeps the pruned-probe
+    scale path."""
+    from donut_spark.operators.similarity import ivf_topk
+
+    e = _sf(sf)(spark, "embeddings")
+    return ivf_topk(
+        e, _unit_query_vec(64), k=20, n_centroids=16, n_probe=16
+    ).withColumn("cosine", F.round("cosine", 6))
+
+
 def q42_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup pairs over the embeddings table."""
     from donut_spark.operators.similarity import embedding_near_dup_pairs
@@ -797,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_multi_gt": q45_multi_gt,
         "q46_boilerplate_strip": q46_boilerplate_strip,
         "q47_neardup_clusters": q47_neardup_clusters,
+        "q48_ann_ivf_full": q48_ann_ivf_full,
     }
 
 
@@ -806,13 +821,21 @@ def _sql_str_list(words) -> str:
 
 def oracle_sql() -> dict[str, str]:
     # The driver registers the ten base tables as views at sf0.01; the
-    # spans fixture is a committed parquet directory the oracle reads
-    # directly (same files the Spark queries scan — see
-    # donut_spark/sources/fixtures.py::materialize_spans).
-    return _oracle_sql_for("/root/repo/.fixtures/spans_sf0.01/*.parquet")
+    # spans / fingerprint / SRP-plane fixtures are committed parquet the
+    # oracle reads directly (see donut_spark/sources/fixtures.py::
+    # materialize_spans / materialize_fingerprints / materialize_srp_planes).
+    return _oracle_sql_for(
+        "/root/repo/.fixtures/spans_sf0.01/*.parquet",
+        fp="/root/repo/.fixtures/fingerprints_sf0.01.parquet",
+        planes="/root/repo/.fixtures/srp_planes_d64_b32_s13.parquet",
+    )
 
 
-def _oracle_sql_for(fx: str) -> dict[str, str]:
+def _oracle_sql_for(
+    fx: str,
+    fp: str = "/root/repo/.fixtures/fingerprints_sf0.01.parquet",
+    planes: str = "/root/repo/.fixtures/srp_planes_d64_b32_s13.parquet",
+) -> dict[str, str]:
     from donut_spark.core.textstats import STOPWORDS
 
     qvec = "[" + ", ".join(str(v) for v in _unit_query_vec(64)) + "]"
@@ -1192,8 +1215,136 @@ def _oracle_sql_for(fx: str) -> dict[str, str]:
                    CAST(1.0 AS DOUBLE) AS best_nted
             FROM documents
         """,
-        # q24..q26, q28, q30, q38, q41, q42: LSH/ANN/TEDS-pair kernels —
-        # not SQL-expressible; driver records rows-only checks (their
-        # kernels are pinned by pytest goldens + the oracle-backed
-        # q15/q20/q22/q23/q27/q29/q36/q43 relatives).
+        # SimHash near-dup: the 4×16-bit chunk index is EXACT for
+        # hamming ≤ 3 (pigeonhole), so the blocked Spark join must equal
+        # the quadratic all-pairs ground truth over the committed
+        # fingerprint fixture (same signed-64 kernel values the UDF
+        # recomputes from text — the oracle checks the BLOCKING plan
+        # against brute force, bit_count(xor) both sides).
+        "q25_simhash_dedup": f"""
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+            FROM read_parquet('{fp}') l
+            JOIN read_parquet('{fp}') r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+        """,
+        # MinHash-LSH banding twin: DuckDB joins on raw 4-element band
+        # SLICES of the fixture signatures (list equality) where Spark
+        # joins on xxhash64 of the slice — independent join keys, same
+        # pair set unless the engine's banding drops or fabricates pairs.
+        "q24_minhash_dedup": f"""
+            WITH banded AS (
+              SELECT doc_id AS k, b, minhash_sig[b*4+1 : b*4+4] AS bv
+              FROM read_parquet('{fp}'), generate_series(0, 15) t(b)
+            )
+            SELECT l.k AS a, r.k AS b, count(*) AS n_bands
+            FROM banded l
+            JOIN banded r ON l.b = r.b AND l.bv = r.bv AND l.k < r.k
+            GROUP BY 1, 2
+        """,
+        # LSH-candidate-driven exact-Jaccard verify: banding twin for the
+        # candidate set (see q24), then the independent shingle/Jaccard
+        # SQL of q43 restricted to candidate endpoints — exactly the
+        # candidate-driven join shape the Spark operator uses at scale.
+        "q26_jaccard_verify": f"""
+            WITH banded AS (
+              SELECT doc_id AS k, b, minhash_sig[b*4+1 : b*4+4] AS bv
+              FROM read_parquet('{fp}'), generate_series(0, 15) t(b)
+            ), cand AS (
+              SELECT DISTINCT l.k AS a, r.k AS b
+              FROM banded l
+              JOIN banded r ON l.b = r.b AND l.bv = r.bv AND l.k < r.k
+            ), ids AS (
+              SELECT a AS k FROM cand UNION SELECT b FROM cand
+            ), words AS (
+              SELECT doc_id AS k, regexp_split_to_array(lower(text), '\\s+') AS w
+              FROM documents JOIN ids ON doc_id = ids.k
+            ), sh AS (
+              SELECT k, unnest(list_distinct(list_filter(
+                  list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+                                 i -> array_to_string(w[i+1:i+3], ' ')),
+                  x -> x <> ''))) AS sh
+              FROM words
+            ), sizes AS (
+              SELECT k, count(*) AS sz FROM sh GROUP BY k
+            ), inter AS (
+              SELECT c.a, c.b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh l ON l.k = c.a
+              JOIN sh r ON r.k = c.b AND r.sh = l.sh
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.k = a
+            JOIN sizes sb ON sb.k = b
+            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+        """,
+        # Full SRP-LSH replica (signatures → bands → candidate buckets →
+        # exact rerank) from the committed hyperplane fixture: sig bit =
+        # sign(embedding · plane) via list_dot_product in double (min
+        # |dot| on this data is 8.8e-5 — twelve orders above double
+        # rounding, so the sign is engine-independent), band value packed
+        # with integer arithmetic. A genuinely independent second
+        # implementation of the whole probe path.
+        "q28_ann_lsh": f"""
+            WITH bits AS (
+              SELECT e.vec_id, p.bit,
+                     CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
+                          THEN 1 ELSE 0 END AS b
+              FROM embeddings e, read_parquet('{planes}') p
+            ), bands AS (
+              SELECT vec_id, bit // 4 AS band,
+                     CAST(sum(b * (1 << (bit % 4))) AS BIGINT) AS bval
+              FROM bits GROUP BY 1, 2
+            ), qbits AS (
+              SELECT p.bit,
+                     CASE WHEN list_dot_product(CAST({qvec} AS DOUBLE[]), p.plane) > 0
+                          THEN 1 ELSE 0 END AS b
+              FROM read_parquet('{planes}') p
+            ), qbands AS (
+              SELECT bit // 4 AS band,
+                     CAST(sum(b * (1 << (bit % 4))) AS BIGINT) AS bval
+              FROM qbits GROUP BY 1
+            ), cand AS (
+              SELECT DISTINCT bands.vec_id FROM bands JOIN qbands USING (band, bval)
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], {qvec}), 6)
+                       AS cosine
+            FROM embeddings e JOIN cand USING (vec_id)
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], {qvec}) DESC,
+                     e.vec_id
+            LIMIT 20
+        """,
+        # Embedding near-dup: quadratic all-pairs exact-cosine ground
+        # truth. The Spark side must reproduce it exactly — its wide SRP
+        # banding (16×2-bit bands) has verified recall 1.0 at this
+        # threshold/scale, and its verify step is exact double cosine.
+        "q42_embedding_neardup": f"""
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   round(list_cosine_similarity(l.embedding::DOUBLE[],
+                                                r.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+            WHERE list_cosine_similarity(l.embedding::DOUBLE[],
+                                         r.embedding::DOUBLE[]) >= 0.45
+        """,
+        # IVF in its exactness regime: probing ALL cells must recover
+        # brute-force top-k whatever the codebook — any bug in codebook
+        # training, cell assignment, or probe selection that loses a row
+        # breaks equality with this oracle.
+        "q48_ann_ivf_full": f"""
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], {qvec}), 6)
+                       AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], {qvec}) DESC,
+                     vec_id
+            LIMIT 20
+        """,
+        # q38 (TEDS pairs) and q41 (PRUNED-probe IVF): tree-edit-distance
+        # and approximate-by-design kernels; driver records rows-only
+        # checks (pinned by pytest goldens + the oracle-backed
+        # q12/q30/q48 relatives).
     }

@@ -322,7 +322,13 @@ def embedding_near_dup_pairs(
     (mirrors the candidate-driven shape of
     ``dedup.ngram_jaccard_pairs(candidates=...)``)."""
     pairs = srp_candidate_pairs(df, vec_col, id_col, n_bits, bands, seed, dim)
-    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    # float32 element products lose ~1e-7 relative precision before the
+    # double accumulate; widen once here so the verdict cosine is the
+    # same double arithmetic as the exact baseline (cosine_topk / q20).
+    vecs = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
     pairs = (
         pairs.join(vecs, pairs.a == vecs._vid)
         .select("a", "b", F.col("_v").alias("va"))

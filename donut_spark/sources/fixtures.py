@@ -321,3 +321,99 @@ def materialize_spans(
 def load_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the materialized spans fixture (materializing on first use)."""
     return spark.read.parquet(materialize_spans(spark, sf_dir))
+
+
+def materialize_fingerprints(sf_dir: str, out_root: str = FIXTURES_ROOT) -> str:
+    """Committed fingerprint fixture for the dedup ORACLES: one row per
+    document with the SimHash (Charikar 2002) and MinHash signature
+    (Broder 1997) computed by the exact kernels the Spark UDFs wrap
+    (`functions/udfs.py::simhash_udf` / `minhash_udf` defaults: 64 perms,
+    word-3-shingles, seed 1; signed-64 representation).
+
+    Built pure-Python (pyarrow, no JVM) so the oracle side never touches
+    Spark: DuckDB brute-forces all-pairs hamming / replays the band-slice
+    equality join over these columns, which checks the Spark BLOCKING
+    plan (pigeonhole chunk index, banded self-join) against the
+    quadratic ground truth it must reproduce exactly. Idempotent, keyed
+    on file existence; drift vs the kernels is pinned by
+    tests/test_queries_oracle.py::test_fingerprint_fixture_matches_kernels.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..core import textstats
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(out_root, f"fingerprints_{name}.parquet")
+    if os.path.exists(path):
+        return path
+
+    def signed64(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+    docs.sort(key=lambda r: r["doc_id"])
+    table = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in docs], pa.int64()),
+            "simhash": pa.array(
+                [signed64(textstats.simhash64(r["text"] or "")) for r in docs],
+                pa.int64(),
+            ),
+            "minhash_sig": pa.array(
+                [
+                    [
+                        int(v)
+                        for v in textstats.minhash_signature(
+                            textstats.word_shingles(r["text"] or "", 3), 64, 1
+                        )
+                    ]
+                    for r in docs
+                ],
+                pa.list_(pa.int64()),
+            ),
+        }
+    )
+    os.makedirs(out_root, exist_ok=True)
+    pq.write_table(table, path)
+    return path
+
+
+def materialize_srp_planes(
+    dim: int = 64, n_bits: int = 32, seed: int = 13, out_root: str = FIXTURES_ROOT
+) -> str:
+    """Committed SRP hyperplane fixture: the seeded Gaussian planes of
+    `operators/similarity.py::_srp_planes`, one row per signature bit
+    (bit int32, plane array<double>). Lets the DuckDB oracle recompute
+    the ENTIRE signed-random-projection pipeline independently —
+    sig bit = (embedding · plane) > 0 via `list_dot_product`, band
+    packing via integer arithmetic — so the q28 LSH probe is checked
+    end-to-end (signatures, bucketing, candidate set, exact rerank)
+    against a second implementation, not replayed."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import _srp_planes
+
+    path = os.path.join(out_root, f"srp_planes_d{dim}_b{n_bits}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    planes = _srp_planes(dim, n_bits, seed)  # (dim, n_bits) float64
+    table = pa.table(
+        {
+            "bit": pa.array(range(n_bits), pa.int32()),
+            "plane": pa.array(
+                [planes[:, j].tolist() for j in range(n_bits)],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    os.makedirs(out_root, exist_ok=True)
+    pq.write_table(table, path)
+    return path

@@ -57,10 +57,16 @@ ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
 def oracle_sqls(spark):
     """Oracle twins pointed at THIS scale factor's materialized fixture
     (oracle_sql() itself pins the driver's sf0.01 fixture path)."""
-    from donut_spark.sources.fixtures import materialize_spans
+    from donut_spark.sources.fixtures import (
+        materialize_fingerprints,
+        materialize_spans,
+        materialize_srp_planes,
+    )
 
     fx = materialize_spans(spark, SF_SMALL)
-    return entry_mod._oracle_sql_for(f"{fx}/*.parquet")
+    fp = materialize_fingerprints(SF_SMALL)
+    planes = materialize_srp_planes()
+    return entry_mod._oracle_sql_for(f"{fx}/*.parquet", fp=fp, planes=planes)
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
@@ -102,6 +108,41 @@ def test_fixture_matches_generator(spark):
         | (F.col("gt_parse") != F.col("g2"))
     ).count()
     assert n_bad == 0
+
+
+def test_fingerprint_fixture_matches_kernels(tmp_path):
+    """The committed fingerprint fixture must track the hash kernels: a
+    fresh pure-Python rebuild into tmp must be value-identical (guards
+    against editing simhash64/minhash_signature without re-materializing
+    — which would silently detach the dedup oracles from the engine)."""
+    import duckdb
+
+    from donut_spark.sources.fixtures import materialize_fingerprints
+
+    committed = materialize_fingerprints(SF_SMALL)
+    fresh = materialize_fingerprints(SF_SMALL, out_root=str(tmp_path))
+    n_bad = duckdb.connect().execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{committed}') c
+        JOIN read_parquet('{fresh}') f USING (doc_id)
+        WHERE c.simhash <> f.simhash OR c.minhash_sig <> f.minhash_sig
+        """
+    ).fetchone()[0]
+    assert n_bad == 0
+
+
+def test_srp_planes_fixture_matches_kernel(tmp_path):
+    """Committed SRP hyperplanes == a fresh draw from the seeded RNG."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from donut_spark.operators.similarity import _srp_planes
+    from donut_spark.sources.fixtures import materialize_srp_planes
+
+    committed = pq.read_table(materialize_srp_planes()).to_pydict()
+    planes = _srp_planes(64, 32, 13)
+    for bit, plane in zip(committed["bit"], committed["plane"]):
+        assert np.array_equal(np.asarray(plane), planes[:, bit])
 
 
 def test_every_oracle_key_has_query():
