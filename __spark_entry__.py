@@ -666,6 +666,56 @@ def q41_ann_ivf(spark, sf):
     )
 
 
+def q49_teds_spec(spark, sf):
+    """TEDS spec-oracle family (reference `teds.py:185-206` cost model):
+    deterministic R×C tables where the edit script has a provable closed
+    form — k cell texts replaced by disjoint-alphabet SAME-LENGTH strings
+    (rename cost exactly 1 each ⇒ TEDS = 1 − k/(R+RC), struct = 1), or d
+    trailing rows deleted (cost 1+C per row ⇒ both = 1 − d(1+C)/(R+RC)).
+    The oracle computes the scores ANALYTICALLY from (sid) arithmetic —
+    the Zhang-Shasha kernel never runs on that side."""
+    from donut_spark.functions.udfs import teds_struct_udf, teds_udf
+
+    rows = []
+    for sid in range(40):
+        nr, nc = 2 + sid % 4, 2 + sid % 3
+
+        def cell(r, c):
+            return (
+                chr(ord("a") + (r * 7 + c * 3 + sid) % 26) * 2
+                + chr(ord("a") + (r + c) % 26) * 2
+            )
+
+        gt_rows = [[cell(r, c) for c in range(nc)] for r in range(nr)]
+        if sid % 2 == 0:
+            k = min(1 + sid % 3, nr * nc)
+            pred_rows = [row[:] for row in gt_rows]
+            for i in range(k):
+                r, c = divmod(i, nc)
+                pred_rows[r][c] = pred_rows[r][c].upper()
+        else:
+            d = min(1 + (sid // 2) % 2, nr - 1)
+            pred_rows = [row[:] for row in gt_rows[: nr - d]]
+
+        def html(trs):
+            return (
+                "<table>"
+                + "".join(
+                    "<tr>" + "".join(f"<td>{t}</td>" for t in tr) + "</tr>"
+                    for tr in trs
+                )
+                + "</table>"
+            )
+
+        rows.append((sid, html(pred_rows), html(gt_rows)))
+    df = spark.createDataFrame(rows, ["sid", "pred_html", "gt_html"])
+    return df.select(
+        "sid",
+        F.round(teds_udf("pred_html", "gt_html"), 6).alias("teds"),
+        F.round(teds_struct_udf("pred_html", "gt_html"), 6).alias("teds_struct"),
+    )
+
+
 def q48_ann_ivf_full(spark, sf):
     """IVF with every cell probed — the exactness regime: codebook
     training (hash-uniform sample + Lloyd), vectorized cell assignment,
@@ -812,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_boilerplate_strip": q46_boilerplate_strip,
         "q47_neardup_clusters": q47_neardup_clusters,
         "q48_ann_ivf_full": q48_ann_ivf_full,
+        "q49_teds_spec": q49_teds_spec,
     }
 
 
@@ -1343,8 +1394,33 @@ def _oracle_sql_for(
                      vec_id
             LIMIT 20
         """,
-        # q38 (TEDS pairs) and q41 (PRUNED-probe IVF): tree-edit-distance
-        # and approximate-by-design kernels; driver records rows-only
-        # checks (pinned by pytest goldens + the oracle-backed
-        # q12/q30/q48 relatives).
+        # Analytic TEDS spec (see q49_teds_spec docstring): even sid ⇒ k
+        # unit-cost cell renames, struct untouched; odd sid ⇒ d trailing
+        # row deletions costing 1+C nodes each; node count = R + R·C.
+        # The d/k arithmetic mirrors the generator exactly (the least()
+        # guards are provably non-binding but kept in lockstep).
+        "q49_teds_spec": """
+            WITH t AS (
+              SELECT sid,
+                     2 + sid % 4 AS r,
+                     2 + sid % 3 AS c,
+                     CASE WHEN sid % 2 = 0
+                          THEN least(1 + sid % 3, (2 + sid % 4) * (2 + sid % 3))
+                          ELSE 0 END AS k,
+                     CASE WHEN sid % 2 = 1
+                          THEN least(1 + (sid // 2) % 2, (2 + sid % 4) - 1)
+                          ELSE 0 END AS d
+              FROM generate_series(0, 39) g(sid)
+            )
+            SELECT sid,
+                   round(1 - CAST(k + d * (1 + c) AS DOUBLE) / (r + r * c), 6)
+                       AS teds,
+                   round(1 - CAST(d * (1 + c) AS DOUBLE) / (r + r * c), 6)
+                       AS teds_struct
+            FROM t
+        """,
+        # q38 (TEDS on hand-picked perturbations — scores live in the
+        # kernel, see the analytic q49 twin) and q41 (PRUNED-probe IVF —
+        # approximate by design; its machinery is oracle-checked by q48):
+        # driver records rows-only checks.
     }
