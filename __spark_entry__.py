@@ -716,6 +716,27 @@ def q49_teds_spec(spark, sf):
     )
 
 
+def q50_ann_index_probe(spark, sf):
+    """Persisted-index twin of q28: the SRP posting layout is built ONCE
+    (cached, `partitionBy(band, bval)` — the repeated-query regime at
+    10^12 rows) and the probe reads only the query's matching partitions,
+    recomputing no signatures. The result is identical to the online q28
+    probe, so it shares q28's full SQL-replica oracle."""
+    import os
+
+    from donut_spark.operators.ann_index import probe_srp_index, write_srp_index
+    from donut_spark.sources.fixtures import FIXTURES_ROOT
+
+    e = _sf(sf)(spark, "embeddings")
+    name = os.path.basename(sf.rstrip("/"))
+    path = os.path.join(FIXTURES_ROOT, f"ann_srp_{name}")
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        write_srp_index(e, path, n_bits=32, bands=8, seed=13, dim=64)
+    return probe_srp_index(spark, path, e, _unit_query_vec(64), k=20).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
 def q48_ann_ivf_full(spark, sf):
     """IVF with every cell probed — the exactness regime: codebook
     training (hash-uniform sample + Lloyd), vectorized cell assignment,
@@ -863,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_neardup_clusters": q47_neardup_clusters,
         "q48_ann_ivf_full": q48_ann_ivf_full,
         "q49_teds_spec": q49_teds_spec,
+        "q50_ann_index_probe": q50_ann_index_probe,
     }
 
 
@@ -896,7 +918,7 @@ def _oracle_sql_for(
         _sql_str_list(STOPWORDS["fr"]),
         _sql_str_list(STOPWORDS["de"]),
     )
-    return {
+    sqls = {
         "q01_filter_project": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                    count(*) AS n_rows
@@ -1424,3 +1446,7 @@ def _oracle_sql_for(
         # approximate by design; its machinery is oracle-checked by q48):
         # driver records rows-only checks.
     }
+    # the persisted-index probe returns exactly what the online q28
+    # probe returns (same planes/bands/seed), so it shares its oracle
+    sqls["q50_ann_index_probe"] = sqls["q28_ann_lsh"]
+    return sqls

@@ -256,3 +256,73 @@ def test_dedup_cluster_composition(planted):
     assert comps.get("d3") == "d1" and comps.get("d6") == "d1"
     # the disjoint docs never appear in any component (no edges)
     assert "d4" not in comps and "d5" not in comps
+
+
+# --------------------------------------------------------------------------
+# persisted ANN indexes (operators/ann_index.py)
+# --------------------------------------------------------------------------
+
+
+def test_srp_index_probe_equals_online(embeddings, tmp_path):
+    """A probe against the persisted posting layout must return exactly
+    what the online operator computes with the same parameters."""
+    from donut_spark.operators.ann_index import probe_srp_index, write_srp_index
+
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    path = write_srp_index(
+        embeddings, str(tmp_path / "srp"), n_bits=16, bands=8, dim=8
+    )
+    spark = embeddings.sparkSession
+    got = probe_srp_index(spark, path, embeddings, q, k=10).collect()
+    want = hyperplane_lsh_topk(embeddings, q, k=10, n_bits=16, bands=8).collect()
+    assert [(r.vec_id, round(r.cosine, 9)) for r in got] == [
+        (r.vec_id, round(r.cosine, 9)) for r in want
+    ]
+
+
+def test_srp_index_probe_prunes_partitions(embeddings, tmp_path):
+    """The probe's posting scan must be partition-pruned: the (band,
+    bval) predicate shows up as PartitionFilters (planning-time dir
+    pruning), never as a post-scan Filter over all postings."""
+    import os
+
+    from donut_spark.operators.ann_index import probe_srp_index, write_srp_index
+
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    path = write_srp_index(
+        embeddings, str(tmp_path / "srp"), n_bits=16, bands=8, dim=8
+    )
+    # layout: one directory per (band, bval) bucket
+    band_dirs = [
+        d for d in os.listdir(os.path.join(path, "postings")) if d.startswith("band=")
+    ]
+    assert len(band_dirs) == 8
+    probe = probe_srp_index(
+        embeddings.sparkSession, path, embeddings, q, k=10
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan = next(s for s in plan.splitlines() if "PartitionFilters" in s)
+    assert "band" in scan and "bval" in scan
+    assert "PartitionFilters: []" not in scan
+
+
+def test_ivf_index_probe_equals_online(embeddings, tmp_path):
+    """Cell-partitioned IVF probe == online ivf_topk (the codebook is
+    deterministic, so both paths train the identical quantizer)."""
+    from donut_spark.operators.ann_index import probe_ivf_index, write_ivf_index
+    from donut_spark.operators.similarity import ivf_topk
+
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    path = write_ivf_index(embeddings, str(tmp_path / "ivf"), n_centroids=6)
+    spark = embeddings.sparkSession
+    got = probe_ivf_index(spark, path, q, k=10, n_probe=3).collect()
+    want = ivf_topk(embeddings, q, k=10, n_centroids=6, n_probe=3).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    plan = (
+        probe_ivf_index(spark, path, q, k=10, n_probe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = next(s for s in plan.splitlines() if "PartitionFilters" in s)
+    assert "_cell" in scan and "PartitionFilters: []" not in scan
