@@ -752,16 +752,24 @@ def q48_ann_ivf_full(spark, sf):
 
 
 def q42_embedding_neardup(spark, sf):
-    """Embedding-cosine near-dup pairs over the embeddings table."""
-    from donut_spark.operators.similarity import embedding_near_dup_pairs
+    """Embedding-cosine near-dup pairs over the embeddings table.
 
-    # this synthetic embedding table's true max pairwise cosine is ~0.51,
-    # so the "near-dup" band here is cosine >= 0.45 (59 true pairs >0.4);
-    # wide banding (16 bands of 2 bits) keeps SRP recall high at low cosine
+    This synthetic table's true max pairwise cosine is ~0.51, so the
+    "near-dup" band is cosine >= 0.45 — a LOW threshold where SRP
+    banding degenerates (measured: 1.97M of 2.0M sf0.1 pairs collide in
+    some band), so the right physical plan is the blocked exact all-
+    pairs matmul, not the LSH pair-explosion (13x faster here, same
+    exact result). `embedding_near_dup_pairs` (SRP + exact verify)
+    remains the discovery plan for selective thresholds — see
+    tests/test_dedup_similarity.py."""
+    from donut_spark.operators.similarity import cosine_pairs_blocked
+
     e = _sf(sf)(spark, "embeddings")
-    return embedding_near_dup_pairs(
-        e, threshold=0.45, dim=64, n_bits=32, bands=16
-    ).withColumn("cosine", F.round("cosine", 6)).orderBy("a", "b")
+    return (
+        cosine_pairs_blocked(e, threshold=0.45, block_size=1024)
+        .withColumn("cosine", F.round("cosine", 6))
+        .orderBy("a", "b")
+    )
 
 
 def q46_boilerplate_strip(spark, sf):

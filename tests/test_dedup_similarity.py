@@ -326,3 +326,31 @@ def test_ivf_index_probe_equals_online(embeddings, tmp_path):
     )
     scan = next(s for s in plan.splitlines() if "PartitionFilters" in s)
     assert "_cell" in scan and "PartitionFilters: []" not in scan
+
+
+def test_cosine_pairs_blocked_equals_brute_force(embeddings):
+    """Blocked matmul all-pairs == numpy quadratic ground truth, with a
+    block size small enough to force many blocks (cross-block pairs,
+    same-block upper-triangle, canonical a<b all exercised)."""
+    import itertools
+
+    import math as m
+
+    import numpy as np
+
+    from donut_spark.operators.similarity import cosine_pairs_blocked
+
+    rows = {r.vec_id: np.asarray(r.embedding, dtype="float64") for r in embeddings.collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        va, vb = rows[a], rows[b]
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        if cos >= 0.8:
+            want[(a, b)] = cos
+    got = {
+        (r.a, r.b): r.cosine
+        for r in cosine_pairs_blocked(embeddings, 0.8, block_size=16).collect()
+    }
+    assert set(got) == set(want)
+    assert all(r[0] < r[1] for r in got)
+    assert all(m.isclose(got[k], want[k], rel_tol=1e-9) for k in got)

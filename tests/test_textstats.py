@@ -106,3 +106,48 @@ def test_mulmod_exact_property():
         assert got == (a * x + b) % _MERSENNE
 
     check()
+
+
+def test_simhash_pigeonhole_blocking_is_exact_property():
+    """The invariant the q25 oracle rests on: for hamming <= 3 over a
+    64-bit simhash, the 4x16-bit chunk index has recall 1 (pigeonhole:
+    <=3 differing bits can't touch all 4 chunks), so blocked pairs ==
+    brute-force pairs — on arbitrary corpora, not just the fixtures."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from donut_spark.core.textstats import hamming64, simhash64
+
+    words = st.sampled_from(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    )
+    texts = st.lists(
+        st.lists(words, min_size=3, max_size=30).map(" ".join),
+        min_size=2,
+        max_size=12,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts)
+    def check(docs):
+        hashes = [simhash64(t) for t in docs]
+        brute = {
+            (i, j)
+            for i, j in itertools.combinations(range(len(docs)), 2)
+            if hamming64(hashes[i], hashes[j]) <= 3
+        }
+
+        def chunks(h):
+            return [(c, (h >> (c * 16)) & 0xFFFF) for c in range(4)]
+
+        blocked = {
+            (i, j)
+            for i, j in itertools.combinations(range(len(docs)), 2)
+            if set(chunks(hashes[i])) & set(chunks(hashes[j]))
+            and hamming64(hashes[i], hashes[j]) <= 3
+        }
+        assert blocked == brute
+
+    check()
