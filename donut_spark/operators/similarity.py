@@ -397,6 +397,17 @@ def cosine_pairs_blocked(
     if n_rows is None:
         n_rows = df.count()
     n_blocks = max(1, -(-n_rows // block_size))
+    if n_blocks > 1024:
+        # B(B+1)/2 block pairs is the plan's own fan-out; past ~10^6
+        # tasks the quadratic compute is the wall no plan fixes — make
+        # the caller choose (bigger blocks, a bounded slice, or the LSH
+        # discovery path) instead of silently launching it.
+        raise ValueError(
+            f"{n_rows} rows / block_size {block_size} = {n_blocks} blocks "
+            "(> 1024): exact all-pairs at this scale is infeasible — raise "
+            "block_size, restrict to a slice/bucket, or use "
+            "embedding_near_dup_pairs (LSH discovery) instead"
+        )
 
     spark = df.sparkSession
 
