@@ -465,19 +465,25 @@ def q23_lang_quality(spark, sf):
 
 
 def q24_minhash_dedup(spark, sf):
-    """MinHash-LSH near-dup candidate pairs."""
+    """MinHash-LSH near-dup candidate pairs, EXACTNESS regime: the
+    oracle is the uncapped band-slice ground truth, so the hot-bucket
+    cap (a scale guard against degenerate buckets, audited via
+    `hot_buckets` and pinned by its own pytest) is disabled here —
+    otherwise a fixture large enough to bind the cap would make the
+    engine (correctly) drop pairs the oracle keeps."""
     from donut_spark.operators.dedup import minhash_lsh_pairs
 
     d = _sf(sf)(spark, "documents")
-    return minhash_lsh_pairs(d).orderBy("a", "b")
+    return minhash_lsh_pairs(d, max_bucket_size=None).orderBy("a", "b")
 
 
 def q25_simhash_dedup(spark, sf):
-    """SimHash near-dup pairs (hamming ≤ 3)."""
+    """SimHash near-dup pairs (hamming ≤ 3), exactness regime: uncapped
+    to match the brute-force all-pairs oracle (see q24 note)."""
     from donut_spark.operators.dedup import simhash_pairs
 
     d = _sf(sf)(spark, "documents")
-    return simhash_pairs(d).orderBy("a", "b")
+    return simhash_pairs(d, max_bucket_size=None).orderBy("a", "b")
 
 
 def q26_jaccard_verify(spark, sf):
@@ -722,6 +728,7 @@ def q50_ann_index_probe(spark, sf):
     10^12 rows) and the probe reads only the query's matching partitions,
     recomputing no signatures. The result is identical to the online q28
     probe, so it shares q28's full SQL-replica oracle."""
+    import hashlib
     import os
 
     from donut_spark.operators.ann_index import probe_srp_index, write_srp_index
@@ -729,7 +736,15 @@ def q50_ann_index_probe(spark, sf):
 
     e = _sf(sf)(spark, "embeddings")
     name = os.path.basename(sf.rstrip("/"))
-    path = os.path.join(FIXTURES_ROOT, f"ann_srp_{name}")
+    # cache key fingerprints the index PARAMETERS and the source data
+    # (file size + mtime), so regenerated embeddings or changed LSH
+    # constants can never serve a stale posting layout
+    src = os.stat(os.path.join(sf, "embeddings.parquet"))
+    key = hashlib.blake2s(
+        f"nb32.b8.s13.d64|{src.st_size}|{int(src.st_mtime)}".encode(),
+        digest_size=6,
+    ).hexdigest()
+    path = os.path.join(FIXTURES_ROOT, f"ann_srp_{name}_{key}")
     if not os.path.exists(os.path.join(path, "_meta.json")):
         write_srp_index(e, path, n_bits=32, bands=8, seed=13, dim=64)
     return probe_srp_index(spark, path, e, _unit_query_vec(64), k=20).withColumn(
@@ -762,11 +777,18 @@ def q42_embedding_neardup(spark, sf):
     exact result). `embedding_near_dup_pairs` (SRP + exact verify)
     remains the discovery plan for selective thresholds — see
     tests/test_dedup_similarity.py."""
+    import os
+
+    import pyarrow.parquet as pq
+
     from donut_spark.operators.similarity import cosine_pairs_blocked
 
     e = _sf(sf)(spark, "embeddings")
+    # size the block grid from the parquet footer (zero Spark jobs)
+    # instead of a count() scan on every timed execution
+    n_rows = pq.read_metadata(os.path.join(sf, "embeddings.parquet")).num_rows
     return (
-        cosine_pairs_blocked(e, threshold=0.45, block_size=1024)
+        cosine_pairs_blocked(e, threshold=0.45, block_size=1024, n_rows=n_rows)
         .withColumn("cosine", F.round("cosine", 6))
         .orderBy("a", "b")
     )

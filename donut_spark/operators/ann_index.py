@@ -31,7 +31,6 @@ import os
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,19 +91,13 @@ def probe_srp_index(
     signature scan — then exact-rerank the candidate ids against the
     base table. Result is identical to :func:`hyperplane_lsh_topk` with
     the same parameters."""
-    from .similarity import _srp_planes, cosine_topk
+    from .similarity import cosine_topk, query_band_sig
 
     with open(os.path.join(path, "_meta.json")) as fh:
         meta = json.load(fh)
-    planes = _srp_planes(meta["dim"], meta["n_bits"], meta["seed"])
-    q = np.asarray(query_vec, dtype="float64")
-    qbits = (q @ planes) > 0
-    rows = meta["n_bits"] // meta["bands"]
-    weights = (1 << np.arange(rows)).astype("int64")
-    qsig = [
-        int(qbits[b * rows : (b + 1) * rows] @ weights)
-        for b in range(meta["bands"])
-    ]
+    qsig = query_band_sig(
+        query_vec, meta["dim"], meta["n_bits"], meta["bands"], meta["seed"]
+    )
 
     postings = spark.read.parquet(os.path.join(path, "postings"))
     match = F.lit(False)
@@ -128,18 +121,11 @@ def write_ivf_index(
     assign every row its nearest-centroid ``_cell`` (one vectorized
     matmul per Arrow batch), write ``partitionBy(_cell)``, store the
     codebook as a JSON sidecar."""
-    from pyspark.sql.types import IntegerType
-
-    from .similarity import _ivf_centroids
+    from .similarity import _ivf_centroids, cell_assigner_udf
 
     centroids = _ivf_centroids(df, n_centroids, vec_col, id_col, seed_iters)
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-
-    @F.pandas_udf(IntegerType())
-    def cell_of(vec: pd.Series) -> pd.Series:
-        mat = np.stack(vec.to_numpy()).astype("float64")
-        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-        return pd.Series((mat @ cn.T).argmax(axis=1).astype("int32"))
+    cell_of = cell_assigner_udf(cn)
 
     df.withColumn("_cell", cell_of(F.col(vec_col))).write.mode(
         "overwrite"

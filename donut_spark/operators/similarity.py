@@ -93,21 +93,46 @@ def _srp_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return rng.normal(size=(dim, n_bits)).astype("float64")
 
 
+def _band_sig(bits: np.ndarray, bands: int) -> List[int]:
+    """Pack a boolean bit row into per-band integer values — THE
+    band-packing arithmetic; every signature producer (row UDF, query
+    side, persisted-index probe) must share it bit-for-bit."""
+    rows = len(bits) // bands
+    weights = (1 << np.arange(rows)).astype("int64")
+    return [int(bits[b * rows : (b + 1) * rows] @ weights) for b in range(bands)]
+
+
+def query_band_sig(
+    query_vec: Sequence[float], dim: int, n_bits: int, bands: int, seed: int
+) -> List[int]:
+    """The query's SRP band signature (driver-side dim×n_bits matmul)."""
+    planes = _srp_planes(dim, n_bits, seed)
+    qbits = (np.asarray(query_vec, dtype="float64") @ planes) > 0
+    return _band_sig(qbits, bands)
+
+
+def cell_assigner_udf(cn: np.ndarray):
+    """Pandas UDF assigning each vector its nearest-centroid cell over a
+    broadcast normalized codebook — shared by the online ivf_topk and
+    the persisted write_ivf_index so their layouts can never diverge."""
+
+    @F.pandas_udf(IntegerType())
+    def cell_of(vec: pd.Series) -> pd.Series:
+        mat = np.stack(vec.to_numpy()).astype("float64")
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        return pd.Series((mat @ cn.T).argmax(axis=1).astype("int32"))
+
+    return cell_of
+
+
 def _srp_sig_udf(dim: int, n_bits: int, bands: int, seed: int):
     planes = _srp_planes(dim, n_bits, seed)
-    rows = n_bits // bands
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def sig(vec: pd.Series) -> pd.Series:
         mat = np.stack(vec.to_numpy())  # (batch, dim) — one matmul per Arrow batch
         bits = (mat @ planes) > 0  # (batch, n_bits)
-        weights = (1 << np.arange(rows)).astype("int64")
-        out = []
-        for row in bits:
-            out.append(
-                [int(row[b * rows : (b + 1) * rows] @ weights) for b in range(bands)]
-            )
-        return pd.Series(out)
+        return pd.Series([_band_sig(row, bands) for row in bits])
 
     return sig
 
@@ -155,13 +180,7 @@ def hyperplane_lsh_topk(
     if n_bits % bands:
         raise ValueError("bands must divide n_bits")
     dim = len(query_vec)
-
-    q = np.asarray(query_vec, dtype="float64")
-    planes = _srp_planes(dim, n_bits, seed)
-    qbits = (q @ planes) > 0
-    rows = n_bits // bands
-    weights = (1 << np.arange(rows)).astype("int64")
-    qsig = [int(qbits[b * rows : (b + 1) * rows] @ weights) for b in range(bands)]
+    qsig = query_band_sig(query_vec, dim, n_bits, bands, seed)
 
     sigged = (
         sig_df
@@ -251,12 +270,7 @@ def ivf_topk(
     expresses the same pruning."""
     centroids = _ivf_centroids(df, n_centroids, vec_col, id_col, seed_iters)
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-
-    @F.pandas_udf(IntegerType())
-    def cell_of(vec: pd.Series) -> pd.Series:
-        mat = np.stack(vec.to_numpy()).astype("float64")
-        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-        return pd.Series((mat @ cn.T).argmax(axis=1).astype("int32"))
+    cell_of = cell_assigner_udf(cn)
 
     q = np.asarray(query_vec, dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)
@@ -394,6 +408,17 @@ def cosine_pairs_blocked(
     pairs are canonicalized a < b. ``n_rows`` skips the sizing count
     when the caller already knows it.
     """
+    from pyspark.sql.types import ByteType, IntegerType as _IntT, LongType, ShortType
+
+    if not isinstance(
+        df.schema[id_col].dataType, (ByteType, ShortType, _IntT, LongType)
+    ):
+        # the output schema is (a long, b long) and canonicalization uses
+        # numeric min/max — fail at the call site, not inside a worker
+        raise TypeError(
+            f"cosine_pairs_blocked needs an integral id column; "
+            f"{id_col} is {df.schema[id_col].dataType.simpleString()}"
+        )
     if n_rows is None:
         n_rows = df.count()
     n_blocks = max(1, -(-n_rows // block_size))

@@ -110,22 +110,34 @@ def test_fixture_matches_generator(spark):
     assert n_bad == 0
 
 
-def test_fingerprint_fixture_matches_kernels(tmp_path):
-    """The committed fingerprint fixture must track the hash kernels: a
-    fresh pure-Python rebuild into tmp must be value-identical (guards
-    against editing simhash64/minhash_signature without re-materializing
-    — which would silently detach the dedup oracles from the engine)."""
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, "/root/testdata/sf0.01"])
+def test_fingerprint_fixture_matches_kernels(tmp_path, sf_dir):
+    """Every committed fingerprint fixture (including the sf0.01 one the
+    DRIVER oracle reads) must track the hash kernels: a fresh pure-Python
+    rebuild into tmp must be row-for-row identical — full outer join, so
+    added/removed/changed docs all fail (guards against editing
+    simhash64/minhash_signature, or regenerating the corpus, without
+    re-materializing — which would silently detach the dedup oracles)."""
     import duckdb
 
     from donut_spark.sources.fixtures import materialize_fingerprints
 
-    committed = materialize_fingerprints(SF_SMALL)
-    fresh = materialize_fingerprints(SF_SMALL, out_root=str(tmp_path))
-    n_bad = duckdb.connect().execute(
+    committed = materialize_fingerprints(sf_dir)
+    fresh = materialize_fingerprints(sf_dir, out_root=str(tmp_path))
+    con = duckdb.connect()
+    n_c, n_f = (
+        con.execute(
+            f"SELECT (SELECT count(*) FROM read_parquet('{committed}')),"
+            f"       (SELECT count(*) FROM read_parquet('{fresh}'))"
+        ).fetchone()
+    )
+    assert n_c == n_f
+    n_bad = con.execute(
         f"""
         SELECT count(*) FROM read_parquet('{committed}') c
-        JOIN read_parquet('{fresh}') f USING (doc_id)
-        WHERE c.simhash <> f.simhash OR c.minhash_sig <> f.minhash_sig
+        FULL OUTER JOIN read_parquet('{fresh}') f USING (doc_id)
+        WHERE c.doc_id IS NULL OR f.doc_id IS NULL
+           OR c.simhash <> f.simhash OR c.minhash_sig <> f.minhash_sig
         """
     ).fetchone()[0]
     assert n_bad == 0
