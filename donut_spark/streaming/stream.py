@@ -102,3 +102,34 @@ def sessionize(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.exact_dedup``: keep the first
+    arrival of each normalized content fingerprint, drop re-arrivals
+    within the watermark horizon.
+
+    The scale property is the state bound: ``dropDuplicatesWithinWatermark``
+    keys state on the fingerprint and EVICTS entries once the watermark
+    passes them, so state is O(distinct fingerprints per watermark
+    window), not O(all history) — a plain ``dropDuplicates`` on an
+    unbounded stream grows state forever, which is the classic way a
+    10^12-doc ingest dedup falls over. Duplicates separated by more than
+    the watermark are the accepted trade (re-dedup in batch compaction —
+    the standard lambda shape for ingest pipelines).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.udfs import fingerprint_udf
+
+    return (
+        docs.withColumn("fp", fingerprint_udf(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )

@@ -493,3 +493,62 @@ def test_multimodal_plumbing(spark):
 
     joined = join_spans_with_media(spans, media)
     assert joined.filter(F.col("meta").isNull()).count() == 0
+
+
+def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
+    """Streaming twin of exact_dedup: duplicates are dropped WITHIN and
+    ACROSS micro-batches (fingerprint-keyed state), and the state is
+    watermark-bounded (dropDuplicatesWithinWatermark, not the
+    unbounded-state dropDuplicates)."""
+    import os
+
+    from donut_spark.streaming.stream import streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def batch(rows):
+        return (
+            spark.createDataFrame(rows, ["doc_id", "text", "ts_str"])
+            .withColumn("ts", F.col("ts_str").cast("timestamp"))
+            .drop("ts_str")
+        )
+
+    b1 = batch(
+        [
+            (1, "alpha text", "2026-01-01 00:00:00"),
+            (2, "beta text", "2026-01-01 00:00:05"),
+            (3, "alpha text", "2026-01-01 00:00:07"),  # in-batch dup
+        ]
+    )
+    b2 = batch(
+        [
+            (4, "alpha text", "2026-01-01 00:00:20"),  # cross-batch dup
+            (5, "gamma text", "2026-01-01 00:00:25"),
+        ]
+    )
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    b2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # exactly one 'alpha' survives (whichever batch arrived first), plus
+    # the two unique texts
+    assert len(got) == 3
+    assert 2 in got and 5 in got
+    assert len({1, 3, 4} & set(got)) == 1
