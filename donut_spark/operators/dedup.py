@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.udfs import fingerprint_udf, minhash_udf, simhash_udf
 
@@ -163,6 +164,13 @@ def minhash_lsh_pairs(
         ["band", "band_hash"],
         max_bucket_size,
     )
+    # compute the signature matrix ONCE: the self-join otherwise rebuilds
+    # the whole upstream (scan + signature UDF + explode) on BOTH sides —
+    # measured 2 ArrowEvalPython nodes, 0 ReusedExchange, ~1.8x wall.
+    # MEMORY_AND_DISK so a 10^12-row run spills instead of recomputing;
+    # for repeated dedup over the same corpus, persist signatures to a
+    # table instead (the fingerprint-index pattern of operators/ann_index).
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (
         banded.alias("l")
         .join(
@@ -206,6 +214,8 @@ def simhash_pairs(
         ).alias("chunk", "chunk_val"),
     )
     chunks = _cap_hot_buckets(chunks, ["chunk", "chunk_val"], max_bucket_size)
+    # single signature pass for the self-join (see minhash_lsh_pairs)
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     return (
         chunks.alias("l")
         .join(
