@@ -310,6 +310,11 @@ def srp_candidate_pairs(
     # the signature UDF a second time per row; signatures are never
     # empty, so outer is semantically identical and single-eval.
     banded = sigged.select("k", F.posexplode_outer("_sig").alias("band", "bval"))
+    # one signature pass, not two: the self-join otherwise re-runs the
+    # SRP UDF on both sides (same fix as dedup.minhash_lsh_pairs)
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     return (
         banded.alias("l")
         .join(
