@@ -3,8 +3,12 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` — one named query per implemented operator family from
 SURVEY.md §2 (+ the training-data-pipeline operators).
-``oracle_sql()`` — DuckDB twins for every SQL-expressible query; the
-extraction/dedup/ANN kernels that SQL can't express are rows-only.
+``oracle_sql()`` — DuckDB twins for 48 of the 50 queries, including the
+LSH/ANN family (committed fingerprint/hyperplane fixtures let SQL
+brute-force or independently replay the blocking); only q38 (TEDS
+golden pairs — the analytic q49 twin covers the cost model) and q41
+(pruned-probe IVF, approximate by design — q48 oracles the machinery)
+are rows-only.
 
 Column-name parity rule: every computed column is aliased identically in
 the Spark query and its oracle. Floating aggregates are rounded on both
