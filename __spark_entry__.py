@@ -1475,10 +1475,28 @@ def _oracle_sql_for(
                        AS teds_struct
             FROM t
         """,
-        # q38 (TEDS on hand-picked perturbations — scores live in the
-        # kernel, see the analytic q49 twin) and q41 (PRUNED-probe IVF —
-        # approximate by design; its machinery is oracle-checked by q48):
-        # driver records rows-only checks.
+        # Hand-derived from the reference cost model (teds.py:91-109,
+        # 185-206), never captured from the kernel:
+        #  same       → TED 0, score 1.
+        #  cell_edit  → 3 nodes (tr+2td); one cell 'b'→'x' is a unit
+        #               rename (nlev of disjoint 1-char texts = 1):
+        #               teds 1−1/3, struct 1 (content ignored).
+        #  extra_row  → gt has 2tr+4td = 6 nodes; pred misses tr+2td
+        #               (cost 3): both scores 1−3/6.
+        #  span_change→ gt 1tr+3td = 4 nodes; pred's td[colspan=2] vs
+        #               td[colspan=1] is a unit rename (colspan mismatch
+        #               short-circuits content) + one inserted td:
+        #               both scores 1−2/4.
+        "q38_teds_pairs": """
+            SELECT * FROM (VALUES
+              ('same',        CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+              ('cell_edit',   CAST(0.666667 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+              ('extra_row',   CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+              ('span_change', CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE))
+            ) t(pair_id, teds, teds_struct)
+        """,
+        # q41 (PRUNED-probe IVF) stays rows-only: approximate by design;
+        # its machinery is oracle-checked by the full-probe q48.
     }
     # the persisted-index probe returns exactly what the online q28
     # probe returns (same planes/bands/seed), so it shares its oracle
