@@ -37,6 +37,7 @@ __all__ = [
     "connected_components",
     "minhash_banded",
     "hot_buckets",
+    "hot_shingles",
 ]
 
 
@@ -72,19 +73,31 @@ def hot_buckets(banded: DataFrame, keys: list, cap: int) -> DataFrame:
     )
 
 
-def exact_dup_clusters(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+def exact_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    include_members: bool = True,
+    max_members: int = 1000,
+) -> DataFrame:
     """Groups of byte-identical (normalized) documents: one row per
-    duplicated fingerprint with member count and the keeper (min key)."""
-    return (
-        df.withColumn("fp", fingerprint_udf(F.col(text_col)))
-        .groupBy("fp")
-        .agg(
-            F.count("*").alias("n_dups"),
-            F.min(key).alias("keeper"),
-            F.sort_array(F.collect_list(key)).alias("members"),
+    duplicated fingerprint with member count and the keeper (min key).
+
+    ``members`` is a SAMPLE capped at ``max_members`` (the true size is
+    always ``n_dups``): an unbounded ``collect_list`` holds a whole
+    cluster in one agg buffer, and at corpus scale a boilerplate cluster
+    can be 10^9 rows — pass ``include_members=False`` there (count +
+    keeper need no list at all) and recover any cluster's full
+    membership with a targeted ``fp`` filter instead."""
+    grouped = df.withColumn("fp", fingerprint_udf(F.col(text_col))).groupBy("fp")
+    aggs = [F.count("*").alias("n_dups"), F.min(key).alias("keeper")]
+    if include_members:
+        aggs.append(
+            F.slice(
+                F.sort_array(F.collect_list(key)), 1, max_members
+            ).alias("members")
         )
-        .filter(F.col("n_dups") > 1)
-    )
+    return grouped.agg(*aggs).filter(F.col("n_dups") > 1)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
@@ -287,6 +300,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs.
 
@@ -295,6 +309,15 @@ def ngram_jaccard_pairs(
     ``candidates`` (columns a, b) is given — e.g. LSH output — the
     shingle join is semi-joined down to those pairs first, which is the
     only shape that survives 10^12 docs.
+
+    ``max_shingle_df`` is the bare-mode hot-shingle guard (df-cut): a
+    shingle appearing in more than that many documents is dropped from
+    the INTERSECTION join (sizes keep the full sets), because one
+    boilerplate shingle shared by k docs alone costs k² join rows.
+    Dropping can only lower intersection counts, so scores of pairs
+    touching hot shingles are UNDERestimates — an approximation, off by
+    default (None = exact); audit what would drop with
+    :func:`hot_shingles` before enabling.
     """
     shingled = df.select(
         F.col(key).alias("k"),
@@ -308,6 +331,17 @@ def ngram_jaccard_pairs(
         ).alias("sh"),
     ).filter(F.col("sh") != "")
     sizes = shingled.groupBy("k").agg(F.count("*").alias("sz"))
+
+    if max_shingle_df is not None:
+        # df-cut AFTER sizes: |A| and |B| stay exact, only the join loses
+        # the hot shingles (see docstring for the semantics)
+        hot = (
+            shingled.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("sh")
+        )
+        shingled = shingled.join(F.broadcast(hot), "sh", "left_anti")
 
     if candidates is not None:
         # scale shape: restrict BOTH shingle sides to candidate endpoints
@@ -341,4 +375,33 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+    )
+
+
+def hot_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Audit frame for :func:`ngram_jaccard_pairs`'s df-cut: the
+    (shingle, doc-frequency) rows a given ``max_shingle_df`` would drop
+    from the intersection join. Log its count next to a capped run — a
+    df-cut result must never be mistaken for the exact one."""
+    shingled = df.select(
+        F.col(key).alias("k"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(split(lower({text_col}), '\\\\s+')) - {n}, 0)), "
+                    f"i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n})))"
+                )
+            )
+        ).alias("sh"),
+    ).filter(F.col("sh") != "")
+    return (
+        shingled.groupBy("sh")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_shingle_df)
     )

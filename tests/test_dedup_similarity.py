@@ -354,3 +354,37 @@ def test_cosine_pairs_blocked_equals_brute_force(embeddings):
     assert set(got) == set(want)
     assert all(r[0] < r[1] for r in got)
     assert all(m.isclose(got[k], want[k], rel_tol=1e-9) for k in got)
+
+
+def test_exact_dup_clusters_member_cap_and_opt_out(spark):
+    rows = [(f"d{i:03d}", "identical boilerplate text") for i in range(30)]
+    rows += [("x1", "unique one"), ("x2", "unique two")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = exact_dup_clusters(df, max_members=10).collect()
+    assert len(capped) == 1
+    assert capped[0].n_dups == 30          # true size survives the cap
+    assert len(capped[0].members) == 10    # sample capped
+    assert capped[0].keeper == "d000"
+    lean = exact_dup_clusters(df, include_members=False)
+    assert "members" not in lean.columns
+    assert lean.first().n_dups == 30
+
+
+def test_ngram_jaccard_df_cut_underestimates_only(spark):
+    """The df-cut drops hot shingles from the intersection join only:
+    scores can go down or pairs vanish, never up, and sizes stay exact
+    (disjoint pairs can't appear)."""
+    from donut_spark.operators.dedup import hot_shingles
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(f"d{i}", base) for i in range(6)]  # every shingle df=6
+    rows += [("u1", "completely different words entirely here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    cut = {(r.a, r.b): r.jaccard for r in
+           ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=3).collect()}
+    assert len(exact) == 15  # C(6,2) identical docs
+    # every shingle of the clones has df 6 > 3 -> all intersections drop
+    assert cut == {}
+    audit = hot_shingles(df, max_shingle_df=3)
+    assert audit.count() > 0 and audit.first().doc_freq == 6
