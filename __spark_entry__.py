@@ -3,12 +3,12 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` — one named query per implemented operator family from
 SURVEY.md §2 (+ the training-data-pipeline operators).
-``oracle_sql()`` — DuckDB twins for 48 of the 50 queries, including the
+``oracle_sql()`` — DuckDB twins for 49 of the 50 queries, including the
 LSH/ANN family (committed fingerprint/hyperplane fixtures let SQL
-brute-force or independently replay the blocking); only q38 (TEDS
-golden pairs — the analytic q49 twin covers the cost model) and q41
-(pruned-probe IVF, approximate by design — q48 oracles the machinery)
-are rows-only.
+brute-force or independently replay the blocking) and the TEDS goldens
+(hand-derived spec constants); only q41 (pruned-probe IVF, approximate
+by design — q48 oracles the same machinery in its exactness regime) is
+rows-only.
 
 Column-name parity rule: every computed column is aliased identically in
 the Spark query and its oracle. Floating aggregates are rounded on both
@@ -491,11 +491,12 @@ def q25_simhash_dedup(spark, sf):
 
 
 def q26_jaccard_verify(spark, sf):
-    """Exact n-gram Jaccard verification of LSH candidates."""
+    """Exact n-gram Jaccard verification of LSH candidates (uncapped
+    candidates, matching the oracle's uncapped banding — see q24)."""
     from donut_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     d = _sf(sf)(spark, "documents")
-    cands = minhash_lsh_pairs(d)
+    cands = minhash_lsh_pairs(d, max_bucket_size=None)
     return ngram_jaccard_pairs(d, threshold=0.5, candidates=cands).withColumn(
         "jaccard", F.round("jaccard", 6)
     )

@@ -57,17 +57,6 @@ class HNode:
     def find_all(self, tag: str) -> List["HNode"]:
         return [n for n in self.collect() if n.tag == tag]
 
-    def index_tags(self, tags) -> dict:
-        """One traversal → {tag: [nodes in document order]} for the
-        requested tag names. The hot-path alternative to N find_all
-        scans; callers must re-index after structural mutations."""
-        wanted = set(tags)
-        out: dict = {t: [] for t in wanted}
-        for n in self.collect():
-            if n.tag in wanted:
-                out[n.tag].append(n)
-        return out
-
     def descendant_elements(self) -> List["HNode"]:
         return [n for n in self.collect() if n is not self and not n.is_text]
 

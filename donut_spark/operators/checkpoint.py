@@ -80,17 +80,31 @@ def run_resumable(
     # mark_committed running — a re-run REPLACES the orphaned partitions
     # instead of appending duplicate rows (idempotence doesn't depend on
     # the marker write landing).
+    # Remove UNCOMMITTED _bucket dirs before writing: an orphan left by a
+    # crash whose bucket has no rows in this run's input would otherwise
+    # survive and get certified as committed with stale data. Committed
+    # dirs are never touched.
+    data_dir = os.path.join(out_path, "data")
+    if os.path.isdir(data_dir):
+        import shutil
+
+        for name in os.listdir(data_dir):
+            if name.startswith("_bucket=") and int(name.split("=")[1]) not in done:
+                shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
+
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        result.write.mode("overwrite").partitionBy("_bucket").parquet(
-            os.path.join(out_path, "data")
-        )
+        result.write.mode("overwrite").partitionBy("_bucket").parquet(data_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    # buckets actually present in this run's output
-    data_dir = os.path.join(out_path, "data")
+    # Every non-committed bucket was processed this run (the anti-filter
+    # leaves exactly those in the input), so ALL of them commit — a
+    # bucket whose transform output is EMPTY is done too; deriving the
+    # commit set from output directories would recompute it forever.
+    processed = sorted(b for b in range(n_buckets) if b not in done)
+    # buckets with files in this run's output (for the lineage audit)
     written = sorted(
         int(name.split("=")[1])
         for name in os.listdir(data_dir)
@@ -124,5 +138,5 @@ def run_resumable(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    mark_committed(out_path, written)
-    return written
+    mark_committed(out_path, processed)
+    return processed

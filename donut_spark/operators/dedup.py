@@ -290,6 +290,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # partially-propagated labels are silently WRONG clusters (a
+        # >max_iter-diameter chain splits into several components) —
+        # fail loudly; near-dup graphs this deep mean max_iter, not the
+        # data, is miscalibrated
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing) — raise "
+            "max_iter (component diameter exceeds it)"
+        )
     return labels.select(F.col("v"), F.col("cluster"))
 
 

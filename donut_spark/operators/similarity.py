@@ -56,17 +56,22 @@ def _vec_lit(vec: Sequence[float]) -> Column:
 
 def cosine_expr(col: str, vec: Sequence[float]) -> Column:
     """JVM-side cosine similarity between an array<float> column and a
-    literal query vector (zip_with dot product / aggregate norms)."""
+    literal query vector (zip_with dot product / aggregate norms).
+
+    The column is widened to double FIRST: with float elements, the
+    ``x*x`` / ``x*y`` products are float32 (only the accumulate is
+    double), which drifts up to ~1.5e-9 from the all-double oracle
+    arithmetic — enough to flip a round(·, 6) value sitting on a
+    boundary. One cast keeps every product in double."""
+    v = F.col(col).cast("array<double>")
     q = _vec_lit(vec)
     qnorm = float(np.linalg.norm(np.asarray(vec, dtype="float64")))
     dot = F.aggregate(
-        F.zip_with(F.col(col), q, lambda x, y: x * y),
+        F.zip_with(v, q, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = F.sqrt(
-        F.aggregate(F.col(col), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     return dot / (norm * F.lit(qnorm))
 
 
@@ -126,6 +131,11 @@ def cell_assigner_udf(cn: np.ndarray):
 
 
 def _srp_sig_udf(dim: int, n_bits: int, bands: int, seed: int):
+    if n_bits // bands > 30:
+        raise ValueError(
+            f"{n_bits // bands} bits per band overflows the int32 band "
+            "value (max 30); use more bands or fewer bits"
+        )
     planes = _srp_planes(dim, n_bits, seed)
 
     @F.pandas_udf(ArrayType(IntegerType()))
@@ -155,7 +165,7 @@ def srp_signatures(
         raise ValueError("bands must divide n_bits")
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    sig_udf = _srp_sig_udf(dim, n_bits, bands, seed)
+    sig_udf = _srp_sig_udf(dim, n_bits, bands, seed)  # guards band width
     return df.withColumn("_sig", sig_udf(F.col(vec_col)))
 
 

@@ -128,9 +128,16 @@ def deterministic_split(
     n_buckets = 1000
     bucket = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(n_buckets))
     splits = []
-    lo = 0
-    for w in weights:
-        hi = lo + int(round(w / total * n_buckets))
+    lo, cum = 0, 0.0
+    for i, w in enumerate(weights):
+        cum += w
+        # CUMULATIVE boundaries, last pinned to n_buckets: per-weight
+        # rounding (e.g. [1,1,1] → 333+333+333) would leave bucket 999
+        # in NO split — silent row loss; cumulative rounding partitions
+        # the bucket space exactly, every row lands in exactly one split
+        hi = n_buckets if i == len(weights) - 1 else int(
+            round(cum / total * n_buckets)
+        )
         splits.append(df.filter((bucket >= lo) & (bucket < hi)))
         lo = hi
     return splits

@@ -85,7 +85,13 @@ def sessionize(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
                 out.append((key[0], start, last, n))
                 start, last, n = ts, ts, 1
             else:
-                last = ts
+                # rows are sorted within the batch, but a LATE cross-batch
+                # arrival can precede the persisted session — extend the
+                # span with min/max so the end never moves backward
+                # (session_end < session_start) and a late event can't
+                # reset the gap anchor
+                start = min(start, ts)
+                last = max(last, ts)
                 n += 1
         state.update((start, last, n))
         yield pd.DataFrame(

@@ -552,3 +552,84 @@ def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
     assert len(got) == 3
     assert 2 in got and 5 in got
     assert len({1, 3, 4} & set(got)) == 1
+
+
+def test_deterministic_split_covers_every_row(spark):
+    """[1,1,1] weights must partition the table exactly (the per-weight
+    rounding bug left hash bucket 999 in NO split — silent row loss)."""
+    from donut_spark.sources.catalog import deterministic_split
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    for weights in ([1, 1, 1], [0.5, 0.25, 0.25], [2, 3], [1, 1, 1, 1, 1, 1, 1]):
+        parts = deterministic_split(d, weights)
+        assert sum(p.count() for p in parts) == d.count(), weights
+        # disjoint: pairwise intersections empty
+        ids = [set(r.doc_id for r in p.select("doc_id").collect()) for p in parts]
+        assert sum(len(s) for s in ids) == len(set().union(*ids))
+
+
+def test_checkpoint_empty_output_bucket_still_commits(spark, tmp_path):
+    """A bucket whose transform output is EMPTY must still commit —
+    otherwise every subsequent run reprocesses it forever."""
+    from donut_spark.operators.checkpoint import committed_buckets, run_resumable
+
+    out = str(tmp_path / "empty_out")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        F.col("doc_id").cast("string"), "text"
+    )
+
+    def drop_everything(df):
+        return df.filter(F.lit(False)).withColumn("n", F.length("text"))
+
+    first = run_resumable(spark, docs, drop_everything, out, n_buckets=8)
+    assert first == list(range(8))
+    assert committed_buckets(out) == list(range(8))
+    second = run_resumable(spark, docs, drop_everything, out, n_buckets=8)
+    assert second == []
+
+
+def test_sessionize_late_event_never_moves_end_backward(spark, tmp_path):
+    """Cross-batch LATE arrival within the gap must extend the session
+    span (min/max), never regress session_end below session_start."""
+    from donut_spark.streaming.stream import sessionize
+
+    src = str(tmp_path / "late_src")
+    sink = str(tmp_path / "late_sink")
+    ckpt = str(tmp_path / "late_ckpt")
+    import os
+
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ["user_id", "ts_str"]).selectExpr(
+            "user_id", "cast(ts_str as timestamp) as ts"
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+
+    # batch 1 establishes (start=100s, last=110s); batch 2 delivers a
+    # LATE event at 70s (within gap of start) then 150s (within gap of
+    # the TRUE last=110) and finally a far event that closes the session
+    write_batch("b1", [(1, "2024-01-01 00:01:40"), (1, "2024-01-01 00:01:50")])
+    write_batch("b2", [(1, "2024-01-01 00:01:10"), (1, "2024-01-01 00:02:30"),
+                       (1, "2024-01-01 00:10:00")])
+    schema = "user_id LONG, ts TIMESTAMP"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sessionize(stream, gap_seconds=60)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    closed = spark.read.parquet(sink).collect()
+    assert len(closed) == 1
+    s = closed[0]
+    assert s.session_end >= s.session_start
+    # late 00:01:10 extended the start, 00:02:30 extended the end: 80s span
+    assert s.session_end - s.session_start == 80
+    assert s.n_events == 4
