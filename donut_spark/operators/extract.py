@@ -98,14 +98,23 @@ def extract_documents(
             for c in passthrough
         ],
         F.when(F.col("pos") == 0, F.col("spans")).alias("spans"),
-        F.col("s.offset").alias("offset"),
+        # NULL coercion + tie-break parity with doc mode: the fused
+        # kernel reads span.get('offset') or 0 / .get('media_ref') or ''
+        # and Python's stable sort keeps input order on equal offsets —
+        # coalesce here and carry pos as the secondary sort key so both
+        # physical modes produce identical extracted sequences on null
+        # or duplicate offsets
+        F.coalesce(F.col("s.offset"), F.lit(0)).alias("offset"),
+        F.col("pos"),
         F.when(
             F.col("s.kind") == "media",
             F.array(
                 F.struct(
                     F.lit("media").alias("kind"),
                     F.lit("").alias("text"),
-                    F.col("s.media_ref").alias("media_ref"),
+                    F.coalesce(F.col("s.media_ref"), F.lit("")).alias(
+                        "media_ref"
+                    ),
                 )
             ),
         )
@@ -115,7 +124,7 @@ def extract_documents(
     reassembled = (
         exploded.groupBy("doc_id")
         .agg(
-            F.collect_list(F.struct("offset", "pieces")).alias("_parts"),
+            F.collect_list(F.struct("offset", "pos", "pieces")).alias("_parts"),
             F.first("spans", ignorenulls=True).alias("spans"),
             *[
                 F.first(c, ignorenulls=True).alias(c)

@@ -633,3 +633,31 @@ def test_sessionize_late_event_never_moves_end_backward(spark, tmp_path):
     # late 00:01:10 extended the start, 00:02:30 extended the end: 80s span
     assert s.session_end - s.session_start == 80
     assert s.n_events == 4
+
+
+def test_doc_and_span_modes_agree_on_nulls_and_ties(spark):
+    """The two physical strategies must produce identical extracted
+    sequences on NULL media_ref / NULL offset / duplicate offsets (doc
+    mode coerces via span.get(...) or defaults + Python stable sort;
+    span mode must coalesce and tie-break on input position)."""
+    from donut_spark.operators.extract import extract_documents
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    rows = [
+        (
+            "d1",
+            [
+                {"kind": "text", "text": "<p>beta</p>", "media_ref": None, "offset": 5},
+                {"kind": "media", "text": None, "media_ref": None, "offset": None},
+                {"kind": "text", "text": "<p>alpha</p>", "media_ref": "", "offset": 5},
+                {"kind": "media", "text": "", "media_ref": "img_7", "offset": 2},
+            ],
+        )
+    ]
+    df = spark.createDataFrame(rows, schema)
+    doc = extract_documents(df, mode="doc").select("doc_id", F.to_json("extracted").alias("j")).first()
+    span = extract_documents(df, mode="span").select("doc_id", F.to_json("extracted").alias("j")).first()
+    assert doc.j == span.j
