@@ -263,3 +263,40 @@ class TestBoilerplateStrip:
 
         frag = "<h1>Title</h1><p>body text</p><ul><li>item</li></ul>"
         assert extract_main_content(frag) == extract_main_text(frag)
+
+
+def test_extraction_kernel_never_crashes_on_tag_soup():
+    """The 'never fail the job' guarantee starts at the kernel: arbitrary
+    malformed tag soup (unclosed tags, bogus entities, nested garbage,
+    control chars, lone angle brackets) must flow through html_to_spans /
+    extract_main_text without raising — anything recoverable yields
+    spans, anything else yields empty output, never an exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from donut_spark.core.htmlnorm import extract_main_text, html_to_spans
+
+    fragment = st.one_of(
+        st.sampled_from(
+            [
+                "<p>", "</p>", "<div", ">", "<", "<!--", "-->", "<![CDATA[",
+                "<img src=", "&amp;", "&#xZZ;", "<td colspan=>", "</",
+                "<script>var x='</p>';</script>", "\x00", "\x1b[0m",
+                '<a href="', "<p class=>", "<<<>>>", "<table><tr><td>",
+            ]
+        ),
+        st.text(max_size=12),
+    )
+    soup = st.lists(fragment, max_size=25).map("".join)
+
+    @settings(max_examples=150, deadline=None)
+    @given(soup)
+    def check(html):
+        spans = html_to_spans(html)
+        assert isinstance(spans, list)
+        for kind, text, ref in spans:
+            assert kind in ("text", "media")
+            assert isinstance(text, str) and isinstance(ref, str)
+        assert isinstance(extract_main_text(html), str)
+
+    check()
