@@ -34,6 +34,10 @@ __all__ = [
     "synth_media_table",
     "decode_and_featurize",
     "join_spans_with_media",
+    "resize_media",
+    "sample_frames",
+    "RESIZED_SCHEMA",
+    "FRAME_SCHEMA",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -162,3 +166,84 @@ def join_spans_with_media(spans_df: DataFrame, media_df: DataFrame) -> DataFrame
     return exploded.join(F.broadcast(dim), exploded["s.media_ref"] == dim["media_ref"], "left").select(
         "doc_id", F.col("s.media_ref").alias("media_ref"), F.col("s.offset").alias("offset"), "meta"
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    media_df: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Batch resize to a fixed target (the training-pipeline normalize
+    step). Real path is PIL ``Image.resize`` over ``content`` (absent in
+    this container); the deterministic fake emits a seed-derived payload
+    whose LENGTH scales with the target area, so batch-shape and memory
+    behavior track a real resize. The Spark plumbing — one Arrow batch
+    in, one out, bounded rows per batch, binary column through — is the
+    real contract."""
+    use_real = _have_pillow()
+
+    def rz(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if use_real:  # pragma: no cover - container has no PIL
+                raise NotImplementedError(
+                    "real resize: PIL.Image.open(content).resize((w, h)) here"
+                )
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                seed = zlib.crc32(bytes(content))
+                n = max(16, (width * height) // 512)
+                payload = (seed.to_bytes(4, "big") * ((n + 3) // 4))[:n]
+                rows.append((ref, payload, width, height))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "content", "width", "height"]
+            )
+
+    return media_df.mapInPandas(rz, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling for video media: one OUTPUT row per sampled frame
+    (row-expanding mapInPandas — the batch shape a real ffmpeg-style
+    extractor needs). Images (n_frames == 1) emit their single frame;
+    videos emit frames 0, every_n, 2·every_n, … Deterministic fake
+    frame payloads (crc-chained on ref + frame index); real path plugs
+    a decoder into the same iterator."""
+    use_real = _have_pillow()
+
+    def frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if use_real:  # pragma: no cover - container has no PIL/ffmpeg
+                raise NotImplementedError(
+                    "real frame sampling: decode content, step by every_n"
+                )
+            rows = []
+            for ref, content, meta in zip(
+                pdf["media_ref"], pdf["content"], pdf["meta"]
+            ):
+                n_frames = int(meta["n_frames"]) or 1
+                for idx in range(0, n_frames, every_n):
+                    h = zlib.crc32(idx.to_bytes(4, "big"), zlib.crc32(bytes(content)))
+                    rows.append((ref, idx, (h.to_bytes(4, "big") * 8)[:32]))
+            yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "content"])
+
+    return media_df.mapInPandas(frames, schema=FRAME_SCHEMA)

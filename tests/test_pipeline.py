@@ -661,3 +661,36 @@ def test_doc_and_span_modes_agree_on_nulls_and_ties(spark):
     doc = extract_documents(df, mode="doc").select("doc_id", F.to_json("extracted").alias("j")).first()
     span = extract_documents(df, mode="span").select("doc_id", F.to_json("extracted").alias("j")).first()
     assert doc.j == span.j
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize + frame-sample plumbing: schemas, row expansion, and
+    determinism (payloads are codec stubs; the Spark shape is real)."""
+    from donut_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+        synth_media_table,
+    )
+    from donut_spark.sources.fixtures import load_spans
+
+    spans = load_spans(spark, SF_SMALL).filter(F.col("doc_id").cast("long") < 60)
+    media = synth_media_table(spark, spans)
+    n_media = media.count()
+    assert n_media > 0
+
+    rz = resize_media(media, width=128, height=96)
+    rows = rz.collect()
+    assert len(rows) == n_media
+    assert all(r.width == 128 and r.height == 96 for r in rows)
+    assert all(len(r.content) == (128 * 96) // 512 for r in rows)
+    # deterministic across runs
+    again = {r.media_ref: bytes(r.content) for r in resize_media(media, 128, 96).collect()}
+    assert {r.media_ref: bytes(r.content) for r in rows} == again
+
+    fr = sample_frames(media, every_n=25)
+    # videos (n_frames > 1) expand to multiple rows; every media has >= 1
+    per_ref = {r.media_ref: r.n for r in fr.groupBy("media_ref").agg(F.count("*").alias("n")).collect()}
+    assert set(per_ref) == {r.media_ref for r in media.select("media_ref").collect()}
+    metas = {r.media_ref: r.meta.n_frames for r in media.collect()}
+    for ref, n in per_ref.items():
+        assert n == len(range(0, max(metas[ref], 1), 25))
