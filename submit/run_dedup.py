@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Production corpus-dedup entrypoint — the composed pipeline the
+operators document (exact-dedup FIRST so identical mass never reaches
+the LSH join, then banded MinHash discovery, exact n-gram Jaccard
+verification, connected components, keeper election):
+
+    spark-submit --master <cluster> \\
+        --py-files dist/donut_spark.zip \\
+        submit/run_dedup.py \\
+        --input  <documents table path> \\
+        --output <output root> \\
+        [--threshold 0.8] [--num-perm 64] [--bands 16] \\
+        [--max-bucket-size 1000] [--keep-all-columns]
+
+Input: a table with (doc_id, text [, ...]). Output layout:
+    deduped/      rows that survive BOTH exact and near-dup dedup
+                  (cluster keepers + singletons)
+    clusters/     (doc_id, cluster) near-dup component assignments
+    pairs/        verified near-dup pairs (a, b, jaccard)
+    exact_dups/   byte-identical clusters (fp, n_dups, keeper)
+    audit/hot_buckets/   LSH buckets the cap dropped (NEVER silent:
+                  count these before trusting a capped run's coverage)
+
+Every stage is deterministic (seeded hashes), so two cluster sizes —
+or a failed-and-rerun job — produce identical output.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--key", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--num-perm", type=int, default=64)
+    ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--max-bucket-size", type=int, default=1000)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from donut_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        exact_dup_clusters,
+        hot_buckets,
+        minhash_banded,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from donut_spark.sources.session import ENGINE_CONF
+
+    builder = SparkSession.builder.appName("donut_spark_dedup")
+    for key, value in ENGINE_CONF.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+
+    docs = spark.read.parquet(args.input)
+    out = args.output
+
+    # 1. byte-identical clusters (audit) + exact dedup (composition rule:
+    #    identical mass must never form a quadratic LSH bucket)
+    exact_dup_clusters(
+        docs, args.text_col, args.key, include_members=False
+    ).write.mode("overwrite").parquet(f"{out}/exact_dups")
+    uniq = exact_dedup(docs, args.text_col, args.key)
+
+    # 2. banded MinHash discovery + hot-bucket audit (same banding frame)
+    cands = minhash_lsh_pairs(
+        uniq,
+        args.text_col,
+        args.key,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        max_bucket_size=args.max_bucket_size,
+    )
+    hot_buckets(
+        minhash_banded(uniq, args.text_col, args.key, args.num_perm, args.bands),
+        ["band", "band_hash"],
+        args.max_bucket_size,
+    ).write.mode("overwrite").parquet(f"{out}/audit/hot_buckets")
+
+    # 3. exact Jaccard verify, candidate-driven (the only shape that
+    #    survives corpus scale)
+    pairs = ngram_jaccard_pairs(
+        uniq,
+        args.text_col,
+        args.key,
+        threshold=args.threshold,
+        candidates=cands,
+    )
+    pairs.write.mode("overwrite").parquet(f"{out}/pairs")
+    pairs = spark.read.parquet(f"{out}/pairs")
+
+    # 4. transitive closure → keeper election (min key per component)
+    clusters = connected_components(pairs)
+    clusters.write.mode("overwrite").parquet(f"{out}/clusters")
+    clusters = spark.read.parquet(f"{out}/clusters")
+
+    drop = clusters.filter(F.col("v") != F.col("cluster")).select(
+        F.col("v").alias(args.key)
+    )
+    deduped = uniq.join(drop, args.key, "left_anti")
+    deduped.write.mode("overwrite").parquet(f"{out}/deduped")
+
+    n_in = docs.count()
+    n_out = spark.read.parquet(f"{out}/deduped").count()
+    n_hot = spark.read.parquet(f"{out}/audit/hot_buckets").count()
+    print(
+        f"dedup: {n_in} -> {n_out} rows "
+        f"({n_in - n_out} removed); hot buckets dropped by cap: {n_hot}"
+    )
+
+
+if __name__ == "__main__":
+    main()

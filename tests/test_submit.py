@@ -64,3 +64,59 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     assert agg.em == 1.0 and agg.rt == 1.0
     lineage = spark.read.parquet(f"{out_dir}/lineage")
     assert lineage.agg(F.sum("n_docs")).first()[0] == 30
+
+
+def test_spark_submit_dedup_pipeline(spark, tmp_path):
+    """The composed dedup job ships the same way: exact → LSH → verify →
+    components → keepers, via spark-submit --py-files with a scrubbed
+    PYTHONPATH. Planted exact dups AND near-dups must both be removed."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the river "
+        "flows quietly past the old mill and the miller watches the "
+        "water wheel turn through the long afternoon hours"
+    )
+    rows = [("d1", base), ("d2", base)]                       # exact dup
+    rows += [("d3", base.replace("lazy", "sleepy"))]          # near dup
+    rows += [(f"u{i}", f"unique document number {i} about topic {i*7} "
+              f"with entirely distinct content tokens {i*13} {i*17} {i*19}")
+             for i in range(8)]
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "package.py")],
+        capture_output=True, text=True, check=True,
+    )
+    zip_path = out.stdout.strip().splitlines()[-1]
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    out_dir = str(tmp_path / "dedup_out")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_HOME")
+    }
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            os.path.join(REPO, "submit", "run_dedup.py"),
+            "--input", src,
+            "--output", out_dir,
+            "--threshold", "0.5",
+        ],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    deduped = {r.doc_id for r in spark.read.parquet(f"{out_dir}/deduped").collect()}
+    # d2 removed as exact dup of d1; d3 removed as near-dup (keeper d1)
+    assert "d1" in deduped and "d2" not in deduped and "d3" not in deduped
+    assert all(f"u{i}" in deduped for i in range(8))
+    exact = spark.read.parquet(f"{out_dir}/exact_dups").collect()
+    assert len(exact) == 1 and exact[0].n_dups == 2
+    pairs = spark.read.parquet(f"{out_dir}/pairs").collect()
+    assert {(p.a, p.b) for p in pairs} == {("d1", "d3")}
