@@ -32,13 +32,19 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
 
 def main() -> int:
     import __spark_entry__ as e
-    from donut_spark.sources.fixtures import materialize_spans
+    from donut_spark.sources.fixtures import (
+        materialize_fingerprints,
+        materialize_spans,
+        materialize_srp_planes,
+    )
     from donut_spark.sources.session import get_spark
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(cores=8)
     fx = materialize_spans(spark, sf)
+    fp = materialize_fingerprints(sf)
+    planes = materialize_srp_planes()
 
     con = duckdb.connect()
     for t in (
@@ -47,7 +53,7 @@ def main() -> int:
     ):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-    oracles = e._oracle_sql_for(f"{fx}/*.parquet")
+    oracles = e._oracle_sql_for(f"{fx}/*.parquet", fp=fp, planes=planes)
     queries = e.queries()
     failed = []
     for name, sql in oracles.items():
