@@ -110,7 +110,9 @@ def test_fixture_matches_generator(spark):
     assert n_bad == 0
 
 
-@pytest.mark.parametrize("sf_dir", [SF_SMALL, "/root/testdata/sf0.01"])
+@pytest.mark.parametrize(
+    "sf_dir", [SF_SMALL, "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
 def test_fingerprint_fixture_matches_kernels(tmp_path, sf_dir):
     """Every committed fingerprint fixture (including the sf0.01 one the
     DRIVER oracle reads) must track the hash kernels: a fresh pure-Python
