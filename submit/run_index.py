@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Production ANN index build — pay the signature/codebook pass ONCE so
+every later probe is a pruned scan (the repeated-query regime over a
+10^12-row embedding table):
+
+    spark-submit --master <cluster> \\
+        --py-files dist/donut_spark.zip \\
+        submit/run_index.py \\
+        --input  <embeddings table path> \\
+        --output <index root> \\
+        [--kind srp|ivf|both] [--n-bits 32] [--bands 8] [--seed 13] \\
+        [--n-centroids 256]
+
+Output layout under ``--output``:
+    srp/postings/band=<b>/bval=<v>/   SRP posting lists (ids only) —
+                                      a probe reads exactly ``bands``
+                                      of these directories
+    srp/_meta.json                    SRP parameters (probes refuse to
+                                      mix parameters silently)
+    ivf/cells/_cell=<c>/              the table re-written cell-
+                                      partitioned (probe = n_probe dirs)
+    ivf/_meta.json                    the codebook
+
+Probe with ``donut_spark.operators.ann_index.probe_srp_index`` /
+``probe_ivf_index`` — results proven identical to the online
+operators (tests/test_dedup_similarity.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--kind", choices=("srp", "ivf", "both"), default="both")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--id-col", default="vec_id")
+    ap.add_argument("--n-bits", type=int, default=32)
+    ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=13)
+    ap.add_argument("--n-centroids", type=int, default=256)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from donut_spark.operators.ann_index import write_ivf_index, write_srp_index
+    from donut_spark.sources.session import ENGINE_CONF
+
+    builder = SparkSession.builder.appName("donut_spark_index")
+    for key, value in ENGINE_CONF.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+
+    emb = spark.read.parquet(args.input)
+    if args.kind in ("srp", "both"):
+        path = write_srp_index(
+            emb,
+            f"{args.output}/srp",
+            vec_col=args.vec_col,
+            id_col=args.id_col,
+            n_bits=args.n_bits,
+            bands=args.bands,
+            seed=args.seed,
+        )
+        print(f"srp index -> {path}")
+    if args.kind in ("ivf", "both"):
+        path = write_ivf_index(
+            emb,
+            f"{args.output}/ivf",
+            vec_col=args.vec_col,
+            id_col=args.id_col,
+            n_centroids=args.n_centroids,
+        )
+        print(f"ivf index -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,3 +120,47 @@ def test_spark_submit_dedup_pipeline(spark, tmp_path):
     assert len(exact) == 1 and exact[0].n_dups == 2
     pairs = spark.read.parquet(f"{out_dir}/pairs").collect()
     assert {(p.a, p.b) for p in pairs} == {("d1", "d3")}
+
+
+def test_spark_submit_index_build(spark, tmp_path):
+    """Index build ships via spark-submit too; the persisted layouts are
+    probe-able and equal the online operators."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "package.py")],
+        capture_output=True, text=True, check=True,
+    )
+    zip_path = out.stdout.strip().splitlines()[-1]
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    out_dir = str(tmp_path / "index_out")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_HOME")
+    }
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            os.path.join(REPO, "submit", "run_index.py"),
+            "--input", f"{SF_SMALL}/embeddings.parquet",
+            "--output", out_dir,
+            "--n-centroids", "8",
+        ],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    from donut_spark.operators.ann_index import probe_ivf_index, probe_srp_index
+    from donut_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = [1.0 if i == 0 else 0.0 for i in range(64)]
+    got = probe_srp_index(spark, f"{out_dir}/srp", emb, q, k=10).collect()
+    assert len(got) == 10
+    ivf_full = probe_ivf_index(spark, f"{out_dir}/ivf", q, k=10, n_probe=8).collect()
+    brute = cosine_topk(emb, q, k=10).collect()
+    assert [r.vec_id for r in ivf_full] == [r.vec_id for r in brute]

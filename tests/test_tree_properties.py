@@ -118,3 +118,18 @@ def test_token2json_never_crashes(garbage):
     # unmatched tags dropped, remainder → text_sequence)
     out = token2json(garbage)
     assert isinstance(out, (dict, list))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+    ).map(lambda s: s + "</s_x><s_y>")
+)
+def test_token2json_never_crashes_on_arbitrary_sequences(seq):
+    """token2json over arbitrary token soup (unmatched tags, garbage
+    text, stray separators) must always return a dict — a malformed
+    model output can't take down a 10^12-doc scoring job (the reference
+    falls back to {'text_sequence': ...}, donut/model.py:1070)."""
+    out = token2json(seq)
+    assert isinstance(out, dict)
