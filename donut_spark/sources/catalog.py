@@ -14,7 +14,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "read_table", "write_table", "default_sf_dir"]
+__all__ = ["TABLES", "read_table", "read_documents_any", "write_table", "default_sf_dir"]
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -141,3 +141,34 @@ def deterministic_split(
         splits.append(df.filter((bucket >= lo) & (bucket < hi)))
         lo = hi
     return splits
+
+
+def read_documents_any(
+    spark: SparkSession, path: str, fmt: Optional[str] = None
+) -> DataFrame:
+    """Format-dispatching reader for a documents-shaped table
+    ``(doc_id, text, ...)`` — crawl dumps arrive as JSONL or CSV as
+    often as parquet. ``fmt`` overrides; otherwise the extension
+    decides. JSONL uses Spark's native json source (schema inference
+    bounded by samplingRatio at corpus scale is the caller's knob —
+    pass an explicit schema table for 10^12 rows); CSV is read with
+    header + escapes suitable for embedded newlines in text columns.
+    """
+    fmt = fmt or (
+        "jsonl"
+        if path.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz"))
+        else "csv"
+        if path.endswith((".csv", ".csv.gz"))
+        else "parquet"
+    )
+    if fmt == "jsonl":
+        return spark.read.json(path)
+    if fmt == "csv":
+        return (
+            spark.read.option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .option("inferSchema", "true")
+            .csv(path)
+        )
+    return spark.read.parquet(path)

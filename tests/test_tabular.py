@@ -122,3 +122,31 @@ def test_jsonl_sinks(spark, tmp_path):
     # ground_truth is double-encoded: a JSON string holding gt_parse
     inner = json.loads(row["ground_truth"])
     assert inner == {"gt_parse": {"k": "v"}}
+
+
+def test_read_documents_any_formats(spark, tmp_path):
+    """JSONL and CSV document dumps round-trip through the dispatching
+    reader with text content intact (embedded quotes/newlines in CSV)."""
+    from donut_spark.sources.catalog import read_documents_any, write_jsonl
+
+    rows = [
+        (1, 'plain text'),
+        (2, 'quoted "text" here'),
+        (3, 'multi\nline text'),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    jl = str(tmp_path / "docs.jsonl")
+    write_jsonl(df, jl)
+    back = read_documents_any(spark, jl)
+    assert {(r.doc_id, r.text) for r in back.collect()} == set(rows)
+
+    cs = str(tmp_path / "docs.csv")
+    df.coalesce(1).write.option("header", "true").option("escape", '"').csv(cs)
+    back = read_documents_any(spark, cs + "/*.csv")
+    assert {(int(r.doc_id), r.text) for r in back.collect()} == set(rows)
+
+    pq = str(tmp_path / "docs.parquet")
+    df.write.parquet(pq)
+    back = read_documents_any(spark, pq)
+    assert {(r.doc_id, r.text) for r in back.collect()} == set(rows)
