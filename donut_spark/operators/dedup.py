@@ -274,8 +274,19 @@ def connected_components(
         nbr = sym.join(labels, sym.d == labels.v).select(
             F.col("s").alias("v"), "cluster"
         )
+        # pointer jumping: also adopt the label OF the current label
+        # (label-of-label join) — propagation distance doubles each
+        # round, so convergence is O(log diameter) instead of
+        # O(diameter); a 10^6-long near-dup chain finishes in ~20
+        # rounds instead of overflowing max_iter
+        jump = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.cluster") == F.col("y.v"))
+            .select(F.col("x.v").alias("v"), F.col("y.cluster").alias("cluster"))
+        )
         new_labels = (
             nbr.union(labels)
+            .union(jump)
             .groupBy("v")
             .agg(F.min("cluster").alias("cluster"))
             .localCheckpoint(eager=True)

@@ -388,3 +388,16 @@ def test_ngram_jaccard_df_cut_underestimates_only(spark):
     assert cut == {}
     audit = hot_shingles(df, max_shingle_df=3)
     assert audit.count() > 0 and audit.first().doc_freq == 6
+
+
+def test_connected_components_deep_chain_converges_fast(spark):
+    """Pointer jumping: a 60-vertex path (diameter 59, far beyond the
+    default max_iter=20 of plain min-propagation) must still collapse to
+    one component — label distance doubles per round."""
+    from donut_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(59)]
+    pairs = spark.createDataFrame(chain, ["a", "b"])
+    out = connected_components(pairs, max_iter=20).collect()
+    assert len(out) == 60
+    assert {r.cluster for r in out} == {0}
