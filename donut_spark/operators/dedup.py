@@ -314,6 +314,22 @@ def connected_components(
     return labels.select(F.col("v"), F.col("cluster"))
 
 
+def _shingle_explode(df: DataFrame, text_col: str, key: str, n: int) -> DataFrame:
+    """(k, sh) rows: distinct word n-gram shingles per document, exploded
+    JVM-side (regex split + transform + array_distinct — no Python)."""
+    return df.select(
+        F.col(key).alias("k"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(split(lower({text_col}), '\\\\s+')) - {n}, 0)), "
+                    f"i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n})))"
+                )
+            )
+        ).alias("sh"),
+    ).filter(F.col("sh") != "")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -340,17 +356,7 @@ def ngram_jaccard_pairs(
     default (None = exact); audit what would drop with
     :func:`hot_shingles` before enabling.
     """
-    shingled = df.select(
-        F.col(key).alias("k"),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(0, greatest(size(split(lower({text_col}), '\\\\s+')) - {n}, 0)), "
-                    f"i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n})))"
-                )
-            )
-        ).alias("sh"),
-    ).filter(F.col("sh") != "")
+    shingled = _shingle_explode(df, text_col, key, n)
     sizes = shingled.groupBy("k").agg(F.count("*").alias("sz"))
 
     if max_shingle_df is not None:
@@ -410,17 +416,7 @@ def hot_shingles(
     (shingle, doc-frequency) rows a given ``max_shingle_df`` would drop
     from the intersection join. Log its count next to a capped run — a
     df-cut result must never be mistaken for the exact one."""
-    shingled = df.select(
-        F.col(key).alias("k"),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(0, greatest(size(split(lower({text_col}), '\\\\s+')) - {n}, 0)), "
-                    f"i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n})))"
-                )
-            )
-        ).alias("sh"),
-    ).filter(F.col("sh") != "")
+    shingled = _shingle_explode(df, text_col, key, n)
     return (
         shingled.groupBy("sh")
         .agg(F.count("*").alias("doc_freq"))
