@@ -23,6 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# the ten driver-registered base tables — single source of truth for
+# every oracle gate (pytest + tools/check_oracles)
+ORACLE_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
 def _sf(sf_dir: str):
     def load(spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -151,6 +151,13 @@ def _normalize_for_hash(text: str) -> str:
     return _NORM_RE.sub(" ", text).strip().lower()
 
 
+def signed64(v: int) -> int:
+    """Two's-complement view of an unsigned 64-bit value (the BIGINT
+    representation both the Spark UDFs and the committed fingerprint
+    fixtures must share — oracle parity depends on one definition)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def fingerprint64(text: str) -> int:
     """Deterministic 64-bit content fingerprint of normalized text
     (blake2b-64 over the normalized byte stream — C-speed, stable

@@ -60,8 +60,7 @@ __all__ = [
 ]
 
 
-def _signed64(v: int) -> int:
-    return v - (1 << 64) if v >= (1 << 63) else v
+_signed64 = textstats.signed64  # single definition (oracle parity)
 
 
 # ---- flagship extraction ----

@@ -350,8 +350,7 @@ def materialize_fingerprints(sf_dir: str, out_root: str = FIXTURES_ROOT) -> str:
     if os.path.exists(path):
         return path
 
-    def signed64(v: int) -> int:
-        return v - (1 << 64) if v >= (1 << 63) else v
+    signed64 = textstats.signed64
 
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -379,7 +378,10 @@ def materialize_fingerprints(sf_dir: str, out_root: str = FIXTURES_ROOT) -> str:
         }
     )
     os.makedirs(out_root, exist_ok=True)
-    pq.write_table(table, path)
+    # atomic publish: an interrupted write must never leave a truncated
+    # parquet at the committed path (existence is the idempotency key)
+    pq.write_table(table, path + ".tmp")
+    os.replace(path + ".tmp", path)
     return path
 
 
@@ -415,5 +417,8 @@ def materialize_srp_planes(
         }
     )
     os.makedirs(out_root, exist_ok=True)
-    pq.write_table(table, path)
+    # atomic publish: an interrupted write must never leave a truncated
+    # parquet at the committed path (existence is the idempotency key)
+    pq.write_table(table, path + ".tmp")
+    os.replace(path + ".tmp", path)
     return path

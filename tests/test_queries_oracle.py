@@ -11,10 +11,7 @@ import pytest
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_SMALL
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+TABLES = entry_mod.ORACLE_TABLES
 
 
 @pytest.fixture(scope="module")
@@ -40,7 +37,11 @@ def _compare(sdf: pd.DataFrame, odf: pd.DataFrame, name: str):
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
-            if isinstance(x, float) or isinstance(y, float):
+            if pd.isna(x) != pd.isna(y):
+                # one-sided null: a clean assertion, not a TypeError
+                # from float(None) inside isclose
+                ok = False
+            elif isinstance(x, float) or isinstance(y, float):
                 ok = (
                     (pd.isna(x) and pd.isna(y))
                     or math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9)
@@ -78,9 +79,11 @@ def test_oracle_parity(spark, oracle_con, oracle_sqls, name):
 
 
 def test_fixture_matches_generator(spark):
-    """The committed fixture parquet must track the generator code: a
-    fresh in-memory synthesis of the same corpus must be row-identical
-    (guards against editing synth_doc without re-materializing)."""
+    """The committed fixture parquet must track the generator code AND
+    the corpus: a fresh in-memory synthesis must be row-identical by a
+    FULL OUTER join, so re-keyed/added/removed doc_ids fail too (an
+    inner join passes vacuously when the corpus is regenerated with
+    shifted ids — same count, empty intersection)."""
     from pyspark.sql import functions as F
 
     from donut_spark.sources.fixtures import build_spans_table, load_spans
@@ -101,9 +104,12 @@ def test_fixture_matches_generator(spark):
             F.col("gt_parse").alias("g2"),
         ),
         "doc_id",
+        "full_outer",
     )
     n_bad = j.filter(
-        (F.col("s") != F.col("s2"))
+        F.col("s").isNull()
+        | F.col("s2").isNull()
+        | (F.col("s") != F.col("s2"))
         | (F.col("e") != F.col("e2"))
         | (F.col("gt_parse") != F.col("g2"))
     ).count()

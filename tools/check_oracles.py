@@ -47,18 +47,23 @@ def main() -> int:
     planes = materialize_srp_planes()
 
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
+    for t in e.ORACLE_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     oracles = e._oracle_sql_for(f"{fx}/*.parquet", fp=fp, planes=planes)
     queries = e.queries()
+    unknown = only - set(oracles)
+    if unknown:
+        # a typo'd filter must not produce an all-green report of zero runs
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
+
     failed = []
+    ran = 0
     for name, sql in oracles.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = queries[name](spark, sf).toPandas()
             odf = con.execute(sql).df()
@@ -69,7 +74,9 @@ def main() -> int:
         print(f"{status}  {name}: {verdict if verdict != 'OK' else ''}".rstrip())
         if status == "FAIL":
             failed.append(name)
-    print(f"\n{len(oracles) - len(failed)}/{len(oracles)} oracle-backed queries green")
+    # report what RAN, never counting skipped queries as green
+    print(f"\n{ran - len(failed)}/{ran} oracle-backed queries green"
+          + (f" ({len(oracles) - ran} not run)" if ran < len(oracles) else ""))
     return 1 if failed else 0
 
 
