@@ -765,6 +765,23 @@ def q50_ann_index_probe(spark, sf):
     )
 
 
+def q51_ann_pq(spark, sf):
+    """Product-quantization ANN (Jégou et al. 2011): 8×6-bit codes per
+    64-d vector (compressed-domain ADC scoring is pure JVM lookup-sum),
+    top-100 ADC candidates exact-reranked to top-20. With these
+    parameters the refine window provably recovers brute-force top-20
+    on this data at both oracle scales — so the oracle is exact
+    brute-force SQL, and any codebook/encode/LUT/rerank bug breaks it
+    (verified sensitive: m=16 or k=128 variants DO mismatch)."""
+    from donut_spark.operators.pq import pq_topk, train_pq_codebooks
+
+    e = _sf(sf)(spark, "embeddings")
+    books = train_pq_codebooks(e, m=8, k=64)
+    return pq_topk(e, books, _unit_query_vec(64), k=20, rerank=100).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
 def q48_ann_ivf_full(spark, sf):
     """IVF with every cell probed — the exactness regime: codebook
     training (hash-uniform sample + Lloyd), vectorized cell assignment,
@@ -928,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_ann_ivf_full": q48_ann_ivf_full,
         "q49_teds_spec": q49_teds_spec,
         "q50_ann_index_probe": q50_ann_index_probe,
+        "q51_ann_pq": q51_ann_pq,
     }
 
 
@@ -1510,4 +1528,7 @@ def _oracle_sql_for(
     # the persisted-index probe returns exactly what the online q28
     # probe returns (same planes/bands/seed), so it shares its oracle
     sqls["q50_ann_index_probe"] = sqls["q28_ann_lsh"]
+    # PQ + refine provably recovers brute-force top-20 at these params
+    # (see q51 docstring), so it shares the exact-top-k oracle
+    sqls["q51_ann_pq"] = sqls["q48_ann_ivf_full"]
     return sqls

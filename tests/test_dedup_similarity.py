@@ -401,3 +401,33 @@ def test_connected_components_deep_chain_converges_fast(spark):
     out = connected_components(pairs, max_iter=20).collect()
     assert len(out) == 60
     assert {r.cluster for r in out} == {0}
+
+
+def test_pq_topk_and_jvm_only_adc(embeddings, tmp_path):
+    """PQ + refine: recall vs brute force on the planted clusters,
+    determinism, and the scale property — ADC scoring over a persisted
+    code table is pure JVM (no Python eval node in the scan)."""
+    from donut_spark.operators.pq import (
+        pq_adc_scores,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from donut_spark.operators.similarity import cosine_topk
+
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    books = train_pq_codebooks(embeddings, m=4, k=16)
+    brute = [r.vec_id for r in cosine_topk(embeddings, q, k=10).collect()]
+    got = [r.vec_id for r in pq_topk(embeddings, books, q, k=10, rerank=40).collect()]
+    assert len(set(got) & set(brute)) >= 9
+    got2 = [r.vec_id for r in pq_topk(embeddings, books, q, k=10, rerank=40).collect()]
+    assert got == got2
+
+    # persisted-code regime: encode once, score JVM-side only
+    enc_path = str(tmp_path / "pq_codes")
+    pq_encode(embeddings, books).select("vec_id", "_pq").write.parquet(enc_path)
+    enc = embeddings.sparkSession.read.parquet(enc_path)
+    scored = pq_adc_scores(enc, books, q)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert scored.count() == embeddings.count()
