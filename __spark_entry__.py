@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` — one named query per implemented operator family from
 SURVEY.md §2 (+ the training-data-pipeline operators).
-``oracle_sql()`` — DuckDB twins for 49 of the 50 queries, including the
+``oracle_sql()`` — DuckDB twins for 50 of the 51 queries, including the
 LSH/ANN family (committed fingerprint/hyperplane fixtures let SQL
 brute-force or independently replay the blocking) and the TEDS goldens
 (hand-derived spec constants); only q41 (pruned-probe IVF, approximate
