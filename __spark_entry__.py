@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` — one named query per implemented operator family from
 SURVEY.md §2 (+ the training-data-pipeline operators).
-``oracle_sql()`` — DuckDB twins for 50 of the 51 queries, including the
+``oracle_sql()`` — DuckDB twins for 51 of the 52 queries, including the
 LSH/ANN family (committed fingerprint/hyperplane fixtures let SQL
 brute-force or independently replay the blocking) and the TEDS goldens
 (hand-derived spec constants); only q41 (pruned-probe IVF, approximate
@@ -782,6 +782,19 @@ def q51_ann_pq(spark, sf):
     )
 
 
+def q52_contamination(spark, sf):
+    """Benchmark-contamination sweep: corpus docs (doc_id >= 50) sharing
+    verbatim 8-gram excerpts with a pretend evaluation set (doc_id < 50).
+    The benchmark shingle set broadcasts; the corpus side never
+    shuffles. Oracle: independent DuckDB shingle semi-join."""
+    from donut_spark.operators.dedup import contamination_overlap
+
+    d = _sf(sf)(spark, "documents")
+    return contamination_overlap(
+        d.filter(F.col("doc_id") >= 50), d.filter(F.col("doc_id") < 50), n=8
+    ).orderBy("doc_id")
+
+
 def q48_ann_ivf_full(spark, sf):
     """IVF with every cell probed — the exactness regime: codebook
     training (hash-uniform sample + Lloyd), vectorized cell assignment,
@@ -946,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_teds_spec": q49_teds_spec,
         "q50_ann_index_probe": q50_ann_index_probe,
         "q51_ann_pq": q51_ann_pq,
+        "q52_contamination": q52_contamination,
     }
 
 
@@ -1476,6 +1490,29 @@ def _oracle_sql_for(
             ORDER BY list_cosine_similarity(embedding::DOUBLE[], {qvec}) DESC,
                      vec_id
             LIMIT 20
+        """,
+        # independent shingle semi-join reimplementation of the
+        # train/test contamination sweep (8-gram verbatim excerpts)
+        "q52_contamination": """
+            WITH words AS (
+              SELECT doc_id AS k, regexp_split_to_array(lower(text), '\\s+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT k, unnest(list_distinct(list_filter(
+                  list_transform(generate_series(0, greatest(len(w) - 8, 0)),
+                                 i -> array_to_string(w[i+1:i+8], ' ')),
+                  x -> x <> ''))) AS sh
+              FROM words
+            ), bench AS (
+              SELECT DISTINCT sh FROM sh WHERE k < 50
+            ), corp AS (
+              SELECT * FROM sh WHERE k >= 50
+            )
+            SELECT corp.k AS doc_id,
+                   count(*) AS n_hits,
+                   count(DISTINCT corp.sh) AS n_distinct_hits
+            FROM corp JOIN bench USING (sh)
+            GROUP BY 1
         """,
         # Analytic TEDS spec (see q49_teds_spec docstring): even sid ⇒ k
         # unit-cost cell renames, struct untouched; odd sid ⇒ d trailing

@@ -38,6 +38,7 @@ __all__ = [
     "minhash_banded",
     "hot_buckets",
     "hot_shingles",
+    "contamination_overlap",
 ]
 
 
@@ -421,4 +422,36 @@ def hot_shingles(
         shingled.groupBy("sh")
         .agg(F.count("*").alias("doc_freq"))
         .filter(F.col("doc_freq") > max_shingle_df)
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing word
+    ``n``-gram shingles with an evaluation set (the standard train/test
+    leak sweep — long shingles, e.g. 8-13 grams, so chance collisions
+    vanish and any hit is a verbatim excerpt).
+
+    Scale shape: the benchmark side is orders of magnitude smaller than
+    the corpus, so its DISTINCT shingle set is broadcast and the corpus
+    shingles stream through a broadcast hash join — the 10^12-doc scan
+    never shuffles. Returns (doc_id, n_hits, n_distinct_hits) for
+    corpus docs with at least ``min_hits`` overlapping shingles.
+    """
+    c_sh = _shingle_explode(corpus, text_col, key, n)
+    b_sh = _shingle_explode(benchmark, text_col, key, n).select("sh").distinct()
+    return (
+        c_sh.join(F.broadcast(b_sh), "sh")
+        .groupBy(F.col("k").alias(key))
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.count_distinct("sh").alias("n_distinct_hits"),
+        )
+        .filter(F.col("n_hits") >= min_hits)
     )

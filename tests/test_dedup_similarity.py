@@ -431,3 +431,29 @@ def test_pq_topk_and_jvm_only_adc(embeddings, tmp_path):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert scored.count() == embeddings.count()
+
+
+def test_contamination_overlap_planted(spark):
+    """A corpus doc embedding a verbatim benchmark excerpt is flagged;
+    disjoint docs are not; the benchmark side is broadcast."""
+    from donut_spark.operators.dedup import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [("b1", "the secret benchmark passage about spark catalyst rules here now")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "prefix words then the secret benchmark passage about spark "
+                   "catalyst rules here now and a suffix"),
+            ("c2", "completely unrelated text with no overlap whatsoever at all "
+                   "in any of its many words"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = contamination_overlap(corpus, bench, n=8)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {r.doc_id: r.n_distinct_hits for r in hits.collect()}
+    assert "c1" in rows and rows["c1"] >= 1
+    assert "c2" not in rows
