@@ -3,12 +3,12 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` — one named query per implemented operator family from
 SURVEY.md §2 (+ the training-data-pipeline operators).
-``oracle_sql()`` — DuckDB twins for 51 of the 52 queries, including the
-LSH/ANN family (committed fingerprint/hyperplane fixtures let SQL
-brute-force or independently replay the blocking) and the TEDS goldens
-(hand-derived spec constants); only q41 (pruned-probe IVF, approximate
-by design — q48 oracles the same machinery in its exactness regime) is
-rows-only.
+``oracle_sql()`` — DuckDB twins for ALL 52 queries, including the
+LSH/ANN family (committed fingerprint/hyperplane/IVF-codebook fixtures
+let SQL brute-force or independently replay the blocking — even the
+pruned-probe q41, whose frozen codebook makes cell assignment and probe
+choice deterministic arithmetic) and the TEDS goldens (hand-derived
+spec constants).
 
 Column-name parity rule: every computed column is aliased identically in
 the Spark query and its oracle. Floating aggregates are rounded on both
@@ -676,13 +676,31 @@ def q44_max_token_len(spark, sf):
 
 
 def q41_ann_ivf(spark, sf):
-    """IVF-bucketed ANN (coarse quantize → probe → exact rerank)."""
-    from donut_spark.operators.similarity import ivf_topk
+    """IVF-bucketed ANN, PRUNED probe (8 of 16 cells) — the scale path.
 
-    e = _sf(sf)(spark, "embeddings")
-    return ivf_topk(e, _unit_query_vec(64), k=20, n_centroids=16, n_probe=8).withColumn(
-        "cosine", F.round("cosine", 6)
+    The codebook is the COMMITTED fixture
+    (`fixtures.py::materialize_ivf_centroids`, trained once on the
+    sf0.01 embeddings), so cell assignment and probe choice are
+    deterministic arithmetic — which makes the pruned result exactly
+    oracle-constructible: brute-force top-k restricted to rows whose
+    argmax-cosine cell is among the 8 cells nearest the query (DuckDB
+    replays assignment + probe from the fixture with list_dot_product,
+    never running the kernel — same discipline as the q28 SRP replica)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from donut_spark.operators.similarity import ivf_topk
+    from donut_spark.sources.fixtures import materialize_ivf_centroids
+
+    cents = pq.read_table(materialize_ivf_centroids(spark)).to_pydict()
+    cn = np.asarray(
+        [c for _, c in sorted(zip(cents["cell"], cents["centroid"]))],
+        dtype="float64",
     )
+    e = _sf(sf)(spark, "embeddings")
+    return ivf_topk(
+        e, _unit_query_vec(64), k=20, n_probe=8, centroids=cn
+    ).withColumn("cosine", F.round("cosine", 6))
 
 
 def q49_teds_spec(spark, sf):
@@ -976,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "/root/repo/.fixtures/spans_sf0.01/*.parquet",
         fp="/root/repo/.fixtures/fingerprints_sf0.01.parquet",
         planes="/root/repo/.fixtures/srp_planes_d64_b32_s13.parquet",
+        ivf="/root/repo/.fixtures/ivf_centroids_sf0.01_c16_i3.parquet",
     )
 
 
@@ -983,6 +1002,7 @@ def _oracle_sql_for(
     fx: str,
     fp: str = "/root/repo/.fixtures/fingerprints_sf0.01.parquet",
     planes: str = "/root/repo/.fixtures/srp_planes_d64_b32_s13.parquet",
+    ivf: str = "/root/repo/.fixtures/ivf_centroids_sf0.01_c16_i3.parquet",
 ) -> dict[str, str]:
     from donut_spark.core.textstats import STOPWORDS
 
@@ -1559,8 +1579,42 @@ def _oracle_sql_for(
               ('span_change', CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE))
             ) t(pair_id, teds, teds_struct)
         """,
-        # q41 (PRUNED-probe IVF) stays rows-only: approximate by design;
-        # its machinery is oracle-checked by the full-probe q48.
+        # Pruned-probe IVF against the COMMITTED codebook fixture:
+        # DuckDB independently replays cell assignment (argmax cosine
+        # over the fixture centroids, ties to the lowest cell — numpy
+        # argmax takes the first max) and probe selection (top-8 cells
+        # by query cosine; centroids are unit-norm so dot == cosine,
+        # and ordering is scale-invariant so neither qvec nor the row
+        # embedding needs normalizing), then brute-forces top-20 over
+        # the probed cells only. Any bug in assignment, probe choice,
+        # or their composition with the rerank breaks equality.
+        "q41_ann_ivf": f"""
+            WITH cents AS (
+              SELECT cell, centroid FROM read_parquet('{ivf}')
+            ), probe AS (
+              SELECT cell FROM cents
+              ORDER BY list_dot_product(centroid, CAST({qvec} AS DOUBLE[])) DESC,
+                       cell
+              LIMIT 8
+            ), assign AS (
+              SELECT vec_id, embedding, cell,
+                     row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(embedding::DOUBLE[], centroid)
+                                    DESC,
+                                cell
+                     ) AS rn
+              FROM embeddings CROSS JOIN cents
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], {qvec}), 6)
+                       AS cosine
+            FROM assign
+            WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], {qvec}) DESC,
+                     vec_id
+            LIMIT 20
+        """,
     }
     # the persisted-index probe returns exactly what the online q28
     # probe returns (same planes/bands/seed), so it shares its oracle

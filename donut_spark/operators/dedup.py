@@ -85,20 +85,43 @@ def exact_dup_clusters(
     duplicated fingerprint with member count and the keeper (min key).
 
     ``members`` is a SAMPLE capped at ``max_members`` (the true size is
-    always ``n_dups``): an unbounded ``collect_list`` holds a whole
-    cluster in one agg buffer, and at corpus scale a boilerplate cluster
-    can be 10^9 rows — pass ``include_members=False`` there (count +
-    keeper need no list at all) and recover any cluster's full
-    membership with a targeted ``fp`` filter instead."""
-    grouped = df.withColumn("fp", fingerprint_udf(F.col(text_col))).groupBy("fp")
-    aggs = [F.count("*").alias("n_dups"), F.min(key).alias("keeper")]
-    if include_members:
-        aggs.append(
-            F.slice(
-                F.sort_array(F.collect_list(key)), 1, max_members
-            ).alias("members")
+    always ``n_dups``), and the cap is enforced BEFORE the aggregation:
+    a ``row_number()`` window over ``fp`` keeps only the ``max_members``
+    smallest keys per fingerprint, so the ``collect_list`` buffer itself
+    is bounded — a 10^9-row boilerplate cluster costs the window sort
+    (disk-spillable) plus a ``max_members``-entry buffer, never a
+    10^9-entry in-memory list. ``include_members=False`` skips the
+    window entirely (count + keeper via plain map-side-combining agg);
+    recover any cluster's full membership with a targeted ``fp`` filter.
+    """
+    fp_df = df.withColumn("fp", fingerprint_udf(F.col(text_col))).select("fp", key)
+    if not include_members:
+        return (
+            fp_df.groupBy("fp")
+            .agg(F.count("*").alias("n_dups"), F.min(key).alias("keeper"))
+            .filter(F.col("n_dups") > 1)
         )
-    return grouped.agg(*aggs).filter(F.col("n_dups") > 1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    ranked = fp_df.select(
+        "fp",
+        key,
+        F.row_number().over(w.orderBy(key)).alias("_rn"),
+        F.count("*").over(w).alias("_n"),
+    )
+    # the groupBy reuses the window's hash(fp) partitioning — no second
+    # exchange; members are the max_members smallest keys, sorted (the
+    # same sample the old post-agg sort_array+slice produced)
+    return (
+        ranked.filter((F.col("_n") > 1) & (F.col("_rn") <= max_members))
+        .groupBy("fp")
+        .agg(
+            F.max("_n").alias("n_dups"),
+            F.min(key).alias("keeper"),
+            F.sort_array(F.collect_list(key)).alias("members"),
+        )
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
@@ -172,7 +195,14 @@ def minhash_lsh_pairs(
     :func:`_cap_hot_buckets`): run :func:`exact_dedup` first so identical
     mass never forms a quadratic bucket, audit drops via
     :func:`hot_buckets`.
+
+    The banded frame stays persisted until the caller releases it with
+    ``plans.cache.release_persisted(result)`` (after consuming the
+    result) — unpersisting inside this call would recompute the
+    signature UDF on both self-join sides.
     """
+    from ..plans.cache import attach_persisted
+
     banded = _cap_hot_buckets(
         minhash_banded(df, text_col, key, num_perm, bands, shingle_k, seed),
         ["band", "band_hash"],
@@ -196,7 +226,7 @@ def minhash_lsh_pairs(
         .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
         .agg(F.count("*").alias("n_bands"))
     )
-    return pairs
+    return attach_persisted(pairs, [banded])
 
 
 def simhash_pairs(
@@ -212,7 +242,10 @@ def simhash_pairs(
 
     ``max_bucket_size`` guards degenerate chunk buckets exactly like
     :func:`minhash_lsh_pairs` (compose with :func:`exact_dedup` first;
-    audit with :func:`hot_buckets` on (chunk, chunk_val))."""
+    audit with :func:`hot_buckets` on (chunk, chunk_val)). Release the
+    internal cache with ``plans.cache.release_persisted(result)`` after
+    consuming the result."""
+    from ..plans.cache import attach_persisted
     from ..plans.skew import maybe_decluster
 
     src = maybe_decluster(df.select(F.col(key).alias("k"), F.col(text_col)), "k")
@@ -230,7 +263,7 @@ def simhash_pairs(
     chunks = _cap_hot_buckets(chunks, ["chunk", "chunk_val"], max_bucket_size)
     # single signature pass for the self-join (see minhash_lsh_pairs)
     chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
-    return (
+    pairs = (
         chunks.alias("l")
         .join(
             chunks.alias("r"),
@@ -246,6 +279,7 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return attach_persisted(pairs, [chunks])
 
 
 def connected_components(
@@ -317,14 +351,27 @@ def connected_components(
 
 def _shingle_explode(df: DataFrame, text_col: str, key: str, n: int) -> DataFrame:
     """(k, sh) rows: distinct word n-gram shingles per document, exploded
-    JVM-side (regex split + transform + array_distinct — no Python)."""
-    return df.select(
+    JVM-side (regex split + transform + array_distinct — no Python).
+
+    The word array is projected ONCE below the Generate: writing
+    ``split(lower(text))`` inside the transform lambda re-evaluates it
+    per shingle index (higher-order-function lambdas are not
+    subexpression-eliminated against outer scope), making shingling
+    O(words²) character work per document — a 2,000-word doc would
+    re-split its full text 2,000 times. Catalyst keeps the non-cheap
+    multi-referenced alias un-inlined; the plan shape is pinned by
+    tests/test_dedup_similarity.py::test_shingle_plan_single_split."""
+    words = df.select(
         F.col(key).alias("k"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"),
+    )
+    return words.select(
+        "k",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(0, greatest(size(split(lower({text_col}), '\\\\s+')) - {n}, 0)), "
-                    f"i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n})))"
+                    f"transform(sequence(0, greatest(size(_w) - {n}, 0)), "
+                    f"i -> concat_ws(' ', slice(_w, i + 1, {n})))"
                 )
             )
         ).alias("sh"),

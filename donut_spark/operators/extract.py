@@ -28,7 +28,7 @@ from ..functions.udfs import (
     roundtrip_ok_udf,
     token2json_udf,
 )
-from ..plans.skew import decluster
+from ..plans.skew import decluster, salt_heavy
 from ..sources.fixtures import build_spans_table
 
 __all__ = [
@@ -93,6 +93,9 @@ def extract_documents(
         "doc_id", "spans", *passthrough, F.posexplode("spans").alias("pos", "s")
     ).select(
         "doc_id",
+        # span count rides along so salt_heavy can tell the media-heavy
+        # tail apart per exploded row (evaluated pre-explode, zero cost)
+        F.size("spans").alias("_w"),
         *[
             F.when(F.col("pos") == 0, F.col(c)).alias(c)
             for c in passthrough
@@ -121,16 +124,27 @@ def extract_documents(
         .otherwise(extract_pieces(F.col("s.text")))
         .alias("pieces"),
     )
+    # Two-phase salted reassembly (plans/skew.salt_heavy): one
+    # media-heavy document (a 10k-span doc is one groupBy key) would
+    # otherwise merge on a single reducer. Heavy rows (>= 48 spans, the
+    # fixture's media-heavy tail) fan out over 16 salt values; phase 1
+    # collects partials per (doc_id, _salt), phase 2 concatenates the
+    # few partial arrays per doc. Light docs all use _salt=0, so phase 1
+    # is one group per doc and phase 2 moves already-aggregated rows.
+    # Ordering is unaffected: array_sort runs on the flattened whole.
+    salted = salt_heavy(exploded, "doc_id", "pos", F.col("_w"))
+    firsts = lambda: [  # noqa: E731 — same agg list in both phases
+        F.first("spans", ignorenulls=True).alias("spans"),
+        *[F.first(c, ignorenulls=True).alias(c) for c in passthrough],
+    ]
     reassembled = (
-        exploded.groupBy("doc_id")
+        salted.groupBy("doc_id", "_salt")
         .agg(
-            F.collect_list(F.struct("offset", "pos", "pieces")).alias("_parts"),
-            F.first("spans", ignorenulls=True).alias("spans"),
-            *[
-                F.first(c, ignorenulls=True).alias(c)
-                for c in passthrough
-            ],
+            F.collect_list(F.struct("offset", "pos", "pieces")).alias("_pp"),
+            *firsts(),
         )
+        .groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("_pp")).alias("_parts"), *firsts())
         .withColumn("_flat", F.expr("flatten(transform(array_sort(_parts), p -> p.pieces))"))
         .withColumn("extracted", F.expr(_RENUMBER))
         .drop("_parts", "_flat")

@@ -268,18 +268,30 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed_iters: int = 3,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize every vector to its
     nearest centroid (one vectorized matmul per Arrow batch), probe the
     ``n_probe`` centroids nearest the query, exact-rerank only those
     cells.
 
+    ``centroids``, when given, is a PRE-NORMALIZED codebook used
+    verbatim (e.g. the committed fixture of
+    ``sources/fixtures.py::materialize_ivf_centroids`` — freezing it is
+    what makes the pruned probe oracle-checkable, and a production
+    deployment likewise trains once and reuses the codebook across
+    queries rather than re-sampling per query). Otherwise the codebook
+    is trained in-query from a bounded hash-uniform sample.
+
     The 10^12-row deployment partitions/buckets the table BY ``_cell``
     at write time so a probe prunes partitions at the scan (cell id is
     deterministic, so the layout is reproducible); here the cell filter
     expresses the same pruning."""
-    centroids = _ivf_centroids(df, n_centroids, vec_col, id_col, seed_iters)
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    if centroids is not None:
+        cn = np.asarray(centroids, dtype="float64")
+    else:
+        trained = _ivf_centroids(df, n_centroids, vec_col, id_col, seed_iters)
+        cn = trained / np.linalg.norm(trained, axis=1, keepdims=True)
     cell_of = cell_assigner_udf(cn)
 
     q = np.asarray(query_vec, dtype="float64")
@@ -306,6 +318,9 @@ def srp_candidate_pairs(
     The banded self-join never sees the vector column (plan-asserted in
     tests): its shuffle rows are (id, band, bval), so candidate discovery
     over 10^12 rows moves tens of bytes per row, not kilobytes.
+
+    Release the internally persisted banded frame with
+    ``plans.cache.release_persisted(result)`` after consuming the result.
     """
     if n_bits % bands:
         raise ValueError("bands must divide n_bits")
@@ -324,8 +339,10 @@ def srp_candidate_pairs(
     # SRP UDF on both sides (same fix as dedup.minhash_lsh_pairs)
     from pyspark.storagelevel import StorageLevel
 
+    from ..plans.cache import attach_persisted
+
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    return (
+    pairs = (
         banded.alias("l")
         .join(
             banded.alias("r"),
@@ -336,6 +353,7 @@ def srp_candidate_pairs(
         .select(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
         .distinct()
     )
+    return attach_persisted(pairs, [banded])
 
 
 def embedding_near_dup_pairs(
@@ -357,8 +375,13 @@ def embedding_near_dup_pairs(
     shuffled on both sides). Vectors are attached AFTER the pair-distinct
     by two narrow id joins, so each survives exactly one shuffle per side
     (mirrors the candidate-driven shape of
-    ``dedup.ngram_jaccard_pairs(candidates=...)``)."""
+    ``dedup.ngram_jaccard_pairs(candidates=...)``). Release the internal
+    banded cache with ``plans.cache.release_persisted(result)`` after
+    consuming the result."""
+    from ..plans.cache import attach_persisted
+
     pairs = srp_candidate_pairs(df, vec_col, id_col, n_bits, bands, seed, dim)
+    inner_cached = list(getattr(pairs, "_donut_persisted", ()))
     # float32 element products lose ~1e-7 relative precision before the
     # double accumulate; widen once here so the verdict cosine is the
     # same double arithmetic as the exact baseline (cosine_topk / q20).
@@ -380,11 +403,12 @@ def embedding_near_dup_pairs(
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return (
+    verified = (
         pairs.withColumn("cosine", dot / (norm("va") * norm("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+    return attach_persisted(verified, inner_cached)
 
 
 def cosine_pairs_blocked(

@@ -72,7 +72,12 @@ def salt_heavy(
     """Add a deterministic ``_salt`` column: 0 for light rows,
     0..salt_buckets-1 for heavy rows (derived from a row-distinguishing
     column, e.g. span ``offset``) — group on ``(key, _salt)``, merge
-    partials second: the classic two-phase skewed aggregation."""
+    partials second: the classic two-phase skewed aggregation.
+
+    Wired into the span-mode reassembly groupBy
+    (``operators/extract.py::extract_documents(mode="span")``), where
+    one media-heavy document is one hot groupBy key; plan pinned by
+    tests/test_pipeline.py::test_span_mode_salted_two_phase_plan."""
     return df.withColumn(
         "_salt",
         F.when(

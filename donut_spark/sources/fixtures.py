@@ -385,6 +385,66 @@ def materialize_fingerprints(sf_dir: str, out_root: str = FIXTURES_ROOT) -> str:
     return path
 
 
+def materialize_ivf_centroids(
+    spark: SparkSession | None = None,
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_centroids: int = 16,
+    iters: int = 3,
+    out_root: str = FIXTURES_ROOT,
+) -> str:
+    """Committed IVF codebook fixture: the NORMALIZED centroids
+    (cell int32, centroid array<double>) that `_ivf_centroids` trains on
+    the sf0.01 embeddings with the q41 parameters (16 cells, 3 Lloyd
+    iterations, hash-uniform bounded sample).
+
+    Freezing the codebook makes the pruned-probe IVF query (q41)
+    oracle-constructible: given these centroids, cell assignment
+    (argmax cosine, ties to the lowest cell) and probe choice (top
+    ``n_probe`` cells by query cosine) are deterministic arithmetic
+    DuckDB can replay with ``list_dot_product`` — the pruned result is
+    then EXACTLY brute-force top-k restricted to the probed cells. Same
+    discipline as :func:`materialize_srp_planes` for the q28 SRP
+    replica. Idempotent (keyed on file existence); drift vs the trainer
+    is pinned by tests/test_queries_oracle.py::
+    test_ivf_centroid_fixture_matches_trainer."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        out_root, f"ivf_centroids_{name}_c{n_centroids}_i{iters}.parquet"
+    )
+    if os.path.exists(path):
+        return path
+    if spark is None:
+        raise RuntimeError(
+            f"IVF centroid fixture missing at {path} and no SparkSession "
+            "given to train it"
+        )
+    from ..operators.similarity import _ivf_centroids
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = _ivf_centroids(df, n_centroids, "embedding", "vec_id", iters)
+    cn = cents / np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
+    table = pa.table(
+        {
+            "cell": pa.array(range(len(cn)), pa.int32()),
+            "centroid": pa.array(
+                [row.tolist() for row in cn], pa.list_(pa.float64())
+            ),
+        }
+    )
+    os.makedirs(out_root, exist_ok=True)
+    # atomic publish: an interrupted write must never leave a truncated
+    # parquet at the committed path (existence is the idempotency key)
+    pq.write_table(table, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def materialize_srp_planes(
     dim: int = 64, n_bits: int = 32, seed: int = 13, out_root: str = FIXTURES_ROOT
 ) -> str:

@@ -17,9 +17,12 @@ Output layout under ``--output``:
     data/        extracted documents (parquet; ``_bucket=`` partitions in
                  resume mode, written with dynamic partition overwrite)
     quarantine/  rows whose extraction errored (``_error`` column) —
-                 the job never fails on a poison document
-    lineage/     per-partition (n_docs, n_spans, order-insensitive
-                 checksum) audit rows
+                 the job never fails on a poison document; ``_bucket=``
+                 partitioned in resume mode
+    lineage/     audit rows: per-partition (n_docs, n_spans, checksum)
+                 in plain mode; per-bucket (n_rows, checksum) written by
+                 run_resumable in resume mode (order-insensitive XOR
+                 checksums in both)
     _commits/    bucket commit log (resume mode)
 
 All session tuning comes from ``donut_spark.sources.session.ENGINE_CONF``
@@ -70,23 +73,27 @@ def main() -> None:
     if args.resume:
         from donut_spark.operators.checkpoint import run_resumable
 
-        # extract() preserves every input column, so _bucket flows through
+        # extract() preserves every input column, so _bucket flows
+        # through. run_resumable itself routes errored rows to a
+        # bucket-partitioned quarantine/ BEFORE the data write (data/
+        # holds only good rows, identical semantics to the non-resume
+        # path) and writes the per-bucket lineage audit to lineage/ —
+        # the flat partition-level lineage_metrics pass is skipped so
+        # it can't clobber that per-bucket audit.
         done = run_resumable(
             spark, spans, extract, args.output, n_buckets=args.n_buckets
         )
-        written = spark.read.parquet(f"{args.output}/data")
-        result, bad = quarantine_split(written)
+        result = spark.read.parquet(f"{args.output}/data")
         print(f"resumable run: processed buckets {done}")
     else:
         evaluated = extract(spans)
         result, bad = quarantine_split(evaluated)
         result.write.mode("overwrite").parquet(f"{args.output}/data")
         result = spark.read.parquet(f"{args.output}/data")
-    bad.write.mode("overwrite").parquet(f"{args.output}/quarantine")
-
-    lineage_metrics(result).write.mode("overwrite").parquet(
-        f"{args.output}/lineage"
-    )
+        bad.write.mode("overwrite").parquet(f"{args.output}/quarantine")
+        lineage_metrics(result).write.mode("overwrite").parquet(
+            f"{args.output}/lineage"
+        )
     n = result.count()
     print(f"extracted {n} documents -> {args.output}/data")
 

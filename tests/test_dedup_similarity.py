@@ -370,6 +370,57 @@ def test_exact_dup_clusters_member_cap_and_opt_out(spark):
     assert lean.first().n_dups == 30
 
 
+def test_release_persisted_cache_contract(planted):
+    """minhash_lsh_pairs/simhash_pairs/srp_candidate_pairs persist their
+    banded frames for the self-join; the attached handle must release
+    exactly those blocks so long-lived sessions don't accumulate cache
+    (and releasing twice is a no-op)."""
+    from donut_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from donut_spark.plans.cache import release_persisted
+
+    for op in (minhash_lsh_pairs, simhash_pairs):
+        result = op(planted)
+        result.collect()
+        cached = list(getattr(result, "_donut_persisted", ()))
+        assert len(cached) == 1
+        assert cached[0].storageLevel.useMemory  # persisted before release
+        assert release_persisted(result) == 1
+        assert not cached[0].storageLevel.useMemory  # released
+        assert release_persisted(result) == 0  # idempotent
+
+
+def test_shingle_plan_single_split(spark):
+    """Shingling must materialize split(lower(text)) exactly ONCE per row
+    (plan-pinned): written inside the transform lambda it re-evaluates per
+    shingle index — higher-order-function lambdas are not subexpression-
+    eliminated against outer scope — making shingling O(words²) character
+    work per document."""
+    from donut_spark.operators.dedup import _shingle_explode
+
+    df = spark.createDataFrame([("a", "w x y z")], ["doc_id", "text"])
+    plan = (
+        _shingle_explode(df, "text", "doc_id", 3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(lower") == 1, plan
+
+
+def test_exact_dup_clusters_buffer_bounded_plan(spark):
+    """The member cap must sit BELOW the collect_list (a _rn <= cap
+    filter feeding the agg), bounding the agg buffer itself — a post-agg
+    slice caps only the output while the buffer holds the whole cluster.
+    Also pins the single-exchange shape: the groupBy reuses the window's
+    hash(fp) partitioning."""
+    df = spark.createDataFrame([("a", "t"), ("b", "t")], ["doc_id", "text"])
+    q = exact_dup_clusters(df, max_members=7)
+    opt = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "_rn" in opt and "<= 7" in opt, opt
+    ex = q._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("Exchange") == 1, ex
+
+
 def test_ngram_jaccard_df_cut_underestimates_only(spark):
     """The df-cut drops hot shingles from the intersection join only:
     scores can go down or pairs vanish, never up, and sizes stay exact

@@ -60,6 +60,23 @@ def test_span_mode_matches_doc_mode(spark):
     assert n_diff == 0
 
 
+def test_span_mode_salted_two_phase_plan(spark):
+    """The span-mode reassembly must be the TWO-PHASE salted agg
+    (plans/skew.salt_heavy): a partial collect per (doc_id, _salt)
+    below the final per-doc merge, so one 10k-span document fans its
+    collect work over 16 reducers instead of pinning one. Plan-pinned:
+    a _salt grouping key and two collect aggregates."""
+    spans = build_spans_table(spark, SF_SMALL, limit=20)
+    plan = (
+        extract_documents(spans, mode="span")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "_salt" in plan, plan
+    assert plan.count("collect_list") >= 2, plan  # partial + merge phases
+
+
 def test_span_mode_single_scan(spark, tmp_path):
     """mode='span' must read the source exactly once: gt columns ride
     the explode shuffle (one copy per doc on the pos==0 row), never a
@@ -161,6 +178,41 @@ def test_checkpoint_crash_window_no_duplicates(spark, tmp_path):
     assert len(reprocessed) == 8  # everything re-ran...
     written = spark.read.parquet(os.path.join(out, "data"))
     assert written.count() == docs.count()  # ...but rows appear exactly once
+
+
+def test_checkpoint_resume_routes_quarantine(spark, tmp_path):
+    """Resume mode must keep data/ semantics identical to the plain
+    path: errored rows go to a bucket-partitioned quarantine/, never
+    into data/ (downstream consumers of data/ must not ingest poison
+    rows after a resumed run), and _error is dropped from data/ exactly
+    like plans.lineage.quarantine_split does."""
+    from donut_spark.operators.checkpoint import run_resumable
+
+    out = str(tmp_path / "quar_out")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        F.col("doc_id").cast("string"), "text"
+    )
+    n_total = docs.count()
+
+    def transform(df):
+        return df.withColumn(
+            "_error",
+            F.when(F.col("doc_id").cast("long") % 10 == 0, F.lit("poison")),
+        )
+
+    run_resumable(spark, docs, transform, out, n_buckets=8)
+    data = spark.read.parquet(os.path.join(out, "data"))
+    quarantine = spark.read.parquet(os.path.join(out, "quarantine"))
+    assert "_error" not in data.columns
+    assert "_bucket" in quarantine.columns
+    n_bad = quarantine.count()
+    assert n_bad == docs.filter(F.col("doc_id").cast("long") % 10 == 0).count()
+    assert data.count() == n_total - n_bad
+    # no overlap: a doc is in exactly one of the two outputs
+    assert data.join(quarantine, "doc_id", "inner").count() == 0
+    # lineage audits data/ only (good rows)
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lineage.agg(F.sum("n_rows")).first()[0] == n_total - n_bad
 
 
 def test_salted_two_phase_agg(spark):

@@ -60,6 +60,7 @@ def oracle_sqls(spark):
     (oracle_sql() itself pins the driver's sf0.01 fixture path)."""
     from donut_spark.sources.fixtures import (
         materialize_fingerprints,
+        materialize_ivf_centroids,
         materialize_spans,
         materialize_srp_planes,
     )
@@ -67,7 +68,11 @@ def oracle_sqls(spark):
     fx = materialize_spans(spark, SF_SMALL)
     fp = materialize_fingerprints(SF_SMALL)
     planes = materialize_srp_planes()
-    return entry_mod._oracle_sql_for(f"{fx}/*.parquet", fp=fp, planes=planes)
+    # the IVF codebook fixture is trained ONCE on sf0.01 and shared by
+    # every scale (it is the frozen-parameter side of q41, not data under
+    # test) — mirroring the driver oracle's committed path
+    ivf = materialize_ivf_centroids(spark)
+    return entry_mod._oracle_sql_for(f"{fx}/*.parquet", fp=fp, planes=planes, ivf=ivf)
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
@@ -163,6 +168,27 @@ def test_srp_planes_fixture_matches_kernel(tmp_path):
     planes = _srp_planes(64, 32, 13)
     for bit, plane in zip(committed["bit"], committed["plane"]):
         assert np.array_equal(np.asarray(plane), planes[:, bit])
+
+
+def test_ivf_centroid_fixture_matches_trainer(spark, tmp_path):
+    """The committed IVF codebook must track the trainer and the sf0.01
+    embeddings: a fresh training run into tmp must be bit-identical
+    (guards against editing _ivf_centroids, or regenerating the
+    embeddings, without re-materializing — which would silently detach
+    the q41 oracle from the Spark query's cell layout)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from donut_spark.sources.fixtures import materialize_ivf_centroids
+
+    committed = pq.read_table(materialize_ivf_centroids(spark)).to_pydict()
+    fresh = pq.read_table(
+        materialize_ivf_centroids(spark, out_root=str(tmp_path))
+    ).to_pydict()
+    assert committed["cell"] == fresh["cell"]
+    for a, b in zip(committed["centroid"], fresh["centroid"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert abs(np.linalg.norm(np.asarray(a)) - 1.0) < 1e-12  # unit-norm
 
 
 def test_every_oracle_key_has_query():
