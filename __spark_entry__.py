@@ -531,13 +531,17 @@ def q28_ann_lsh(spark, sf):
 
 
 def q29_multimodal(spark, sf):
-    """Multimodal plumbing: media table synth → decode/featurize.
+    """Multimodal: media table synth → REAL PNG decode → featurize.
 
-    Oracle-backed on the PIPELINE invariants: the distinct media-ref set
-    (explode → kind filter → distinct over the fixture), feature
-    dimensionality, and metadata bounds. The fake codec's exact hash
-    values (width/height) stay pinned by pytest determinism tests — they
-    are stand-ins for PIL output, not engine behavior."""
+    PNG rows are verified end-to-end: the synth encodes real truecolor
+    PNGs (core/png.py), the featurizer decodes them (signature, CRCs,
+    scanline unfiltering), and the oracle INDEPENDENTLY recomputes the
+    decoded dimensions and pixel checksum from the generation
+    arithmetic (dims/pixels are closed-form in the ref number; no PNG
+    code on the SQL side) — any encoder/decoder bug breaks equality.
+    jpeg/webm rows (no codec in this container) keep the pipeline
+    invariants: distinct-ref set, feature dimensionality, metadata
+    bounds."""
     from donut_spark.operators.multimodal import (
         decode_and_featurize,
         synth_media_table,
@@ -547,13 +551,20 @@ def q29_multimodal(spark, sf):
     spans = load_spans(spark, sf).filter(F.col("doc_id").cast("long") < 100)
     media = synth_media_table(spark, spans)
     feats = decode_and_featurize(media)
+    png = F.col("pix_sum").isNotNull()
     return feats.select(
         "media_ref",
         F.size("features").alias("feat_dim"),
-        (
-            F.col("width").between(64, 575) & F.col("height").between(64, 575)
+        F.when(png, F.col("width")).alias("png_w"),
+        F.when(png, F.col("height")).alias("png_h"),
+        "pix_sum",
+        F.when(png, F.lit(1))
+        .otherwise(
+            (
+                F.col("width").between(64, 575)
+                & F.col("height").between(64, 575)
+            ).cast("int")
         )
-        .cast("int")
         .alias("meta_ok"),
     )
 
@@ -813,6 +824,44 @@ def q52_contamination(spark, sf):
     ).orderBy("doc_id")
 
 
+def q53_ann_ivfadc(spark, sf):
+    """IVF-ADC (Jégou 2011 §V): the billion-scale serving layout — PQ
+    codes OF CELL RESIDUALS stored per IVF cell, probes score the
+    compressed domain JVM-side and exact-rerank by id.
+
+    Oracle regime (the q48/q51 trick): every cell probed + a rerank
+    window that provably recovers brute-force top-20 on this data at
+    both oracle scales (m=16 subspaces: measured 20/20 recall already
+    at rerank=50, 2x margin at 100) — so the oracle is exact
+    brute-force SQL, and a bug in residual codebooks, cell assignment,
+    the cell-dot + LUT score decomposition, or the rerank join breaks
+    equality (verified sensitive: rerank=5, and the coarser m=8
+    variant at rerank=100, DO mismatch). The pruned-probe scale path +
+    partition pruning are pinned by tests/test_dedup_similarity.py."""
+    import hashlib
+    import os
+
+    from donut_spark.operators.ann_index import (
+        probe_ivfadc_index,
+        write_ivfadc_index,
+    )
+    from donut_spark.sources.fixtures import FIXTURES_ROOT
+
+    e = _sf(sf)(spark, "embeddings")
+    name = os.path.basename(sf.rstrip("/"))
+    src = os.stat(os.path.join(sf, "embeddings.parquet"))
+    key = hashlib.blake2s(
+        f"ivfadc.c16.m16.k64|{src.st_size}|{int(src.st_mtime)}".encode(),
+        digest_size=6,
+    ).hexdigest()
+    path = os.path.join(FIXTURES_ROOT, f"ann_ivfadc_{name}_{key}")
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        write_ivfadc_index(e, path, n_centroids=16, m=16, k=64)
+    return probe_ivfadc_index(
+        spark, path, e, _unit_query_vec(64), k=20, n_probe=16, rerank=100
+    ).withColumn("cosine", F.round("cosine", 6))
+
+
 def q48_ann_ivf_full(spark, sf):
     """IVF with every cell probed — the exactness regime: codebook
     training (hash-uniform sample + Lloyd), vectorized cell assignment,
@@ -978,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_ann_index_probe": q50_ann_index_probe,
         "q51_ann_pq": q51_ann_pq,
         "q52_contamination": q52_contamination,
+        "q53_ann_ivfadc": q53_ann_ivfadc,
     }
 
 
@@ -1363,14 +1413,49 @@ def _oracle_sql_for(
             ORDER BY token_len DESC, doc_id
             LIMIT 5
         """,
+        # PNG rows verified for real: the oracle re-derives format
+        # choice (num % 3), encoded dimensions (8 + 7num % 24 ×
+        # 8 + 13num % 24) and the pixel checksum (sum over x,y,c of
+        # (7x + 13y + 29c + num) mod 256) from the ref string alone —
+        # the Spark side got them by DECODING the PNG bytes it encoded,
+        # so filters/CRC/IHDR bugs on either side break equality.
         "q29_multimodal": f"""
-            SELECT DISTINCT s.media_ref AS media_ref,
+            WITH refs AS (
+              SELECT DISTINCT s.media_ref AS media_ref
+              FROM (SELECT unnest(spans) AS s
+                    FROM read_parquet('{fx}')
+                    WHERE CAST(doc_id AS BIGINT) < 100)
+              WHERE s.kind = 'media'
+            ), dims AS (
+              SELECT media_ref, num,
+                     CASE WHEN num % 3 = 1
+                          THEN CAST(8 + (num * 7) % 24 AS INT) END AS png_w,
+                     CASE WHEN num % 3 = 1
+                          THEN CAST(8 + (num * 13) % 24 AS INT) END AS png_h
+              FROM (SELECT media_ref,
+                           CAST(split_part(media_ref, '_', 2) AS BIGINT) * 1000
+                             + CAST(split_part(media_ref, '_', 3) AS BIGINT)
+                               AS num
+                    FROM refs)
+            )
+            , pix AS (
+              -- dims are 8..31, so a fixed 0..30 series range-joined on
+              -- x < png_w covers every image (generate_series can't take
+              -- correlated bounds)
+              SELECT d.media_ref,
+                     CAST(sum((x.x * 7 + y.y * 13 + c.c * 29 + d.num) % 256)
+                          AS BIGINT) AS pix_sum
+              FROM dims d
+              JOIN generate_series(0, 30) x(x) ON x.x < d.png_w
+              JOIN generate_series(0, 30) y(y) ON y.y < d.png_h
+              CROSS JOIN generate_series(0, 2) c(c)
+              GROUP BY d.media_ref
+            )
+            SELECT dims.media_ref,
                    CAST(8 AS INT) AS feat_dim,
+                   png_w, png_h, pix.pix_sum,
                    CAST(1 AS INT) AS meta_ok
-            FROM (SELECT unnest(spans) AS s
-                  FROM read_parquet('{fx}')
-                  WHERE CAST(doc_id AS BIGINT) < 100)
-            WHERE s.kind = 'media'
+            FROM dims LEFT JOIN pix ON dims.media_ref = pix.media_ref
         """,
         "q46_boilerplate_strip": """
             SELECT doc_id, text AS main_text
@@ -1622,4 +1707,8 @@ def _oracle_sql_for(
     # PQ + refine provably recovers brute-force top-20 at these params
     # (see q51 docstring), so it shares the exact-top-k oracle
     sqls["q51_ann_pq"] = sqls["q48_ann_ivf_full"]
+    # IVF-ADC in its exactness regime (all cells probed, rerank=100
+    # recovers brute-force top-20 at both oracle scales — see q53
+    # docstring) shares the same exact-top-k oracle
+    sqls["q53_ann_ivfadc"] = sqls["q48_ann_ivf_full"]
     return sqls

@@ -15,6 +15,18 @@ Semantics pinned to the reference implementation
 * ``token2json`` is the inverse with the reference's quirks preserved:
   - start tags without a matching end tag are deleted and scanning
     continues (model.py:1034-1035);
+  - the end-tag search injects the key into the pattern UNESCAPED
+    (model.py:1031 ``fr"</s_{key}>"``), so regex metacharacters in a
+    key behave as regex — ``<s_a.>`` closes at ``</s_ab>`` — and the
+    quirk is load-bearing for parity on adversarial tag soup. Sole
+    deviation: a key that makes the pattern fail to COMPILE (e.g. an
+    unbalanced paren) crashes the reference outright; we fall back to
+    literal matching instead, because a 10^12-doc scoring job must not
+    die on one malformed sequence (same philosophy as the S11
+    quarantine);
+  - the content regex runs WITHOUT DOTALL (model.py:1039), so a
+    newline inside a value makes the content search fail and the key
+    is dropped while scanning continues — reference-exact;
   - content containing both ``<s_`` and ``</s_`` recurses (non-leaf);
     otherwise it splits on ``<sep/>`` into stripped leaves, unwrapping
     categorical ``<x/>`` leaves (model.py:1047-1063);
@@ -24,6 +36,10 @@ Semantics pinned to the reference implementation
     (model.py:1066-1067);
   - if nothing parsed at top level the raw remainder is returned as
     ``{"text_sequence": tokens}`` (model.py:1070).
+
+  These quirks are pinned by tests/test_tree_fuzz.py: adversarial token
+  soup is compared against an independent literal transcription of the
+  reference control flow — zero divergence tolerated.
 
 * ``normalize_tree`` canonicalizes a parse for comparison, pinned to
   ``JSONParseEvaluator.normalize_dict`` (`donut/util.py:292-320`).
@@ -103,17 +119,25 @@ def _token2json(tokens: str, wrapped_vocab: set, is_inner: bool) -> Any:
             break
         key = start_m.group(1)
         start_tok = start_m.group()
-        end_re = re.compile(re.escape(f"</s_{key}>"), re.IGNORECASE)
-        end_m = end_re.search(tokens)
+        try:
+            # reference-exact: the key is NOT regex-escaped
+            # (model.py:1031), so metacharacters in a key act as regex
+            end_m = re.search(f"</s_{key}>", tokens, re.IGNORECASE)
+        except re.error:
+            # the reference crashes here; we degrade to literal matching
+            # (documented robustness deviation — see module docstring)
+            end_m = re.search(re.escape(f"</s_{key}>"), tokens, re.IGNORECASE)
         if end_m is None:
             # unmatched start tag: drop it and keep scanning
             tokens = tokens.replace(start_tok, "")
             continue
         end_tok = end_m.group()
+        # reference-exact: NO DOTALL (model.py:1039) — content spanning a
+        # newline fails the search and the key is dropped
         content_m = re.search(
             re.escape(start_tok) + "(.*?)" + re.escape(end_tok),
             tokens,
-            re.IGNORECASE | re.DOTALL,
+            re.IGNORECASE,
         )
         if content_m is not None:
             content = content_m.group(1).strip()

@@ -39,6 +39,8 @@ __all__ = [
     "probe_srp_index",
     "write_ivf_index",
     "probe_ivf_index",
+    "write_ivfadc_index",
+    "probe_ivfadc_index",
 ]
 
 
@@ -133,6 +135,157 @@ def write_ivf_index(
     with open(os.path.join(path, "_meta.json"), "w") as fh:
         json.dump({"centroids": centroids.tolist()}, fh)
     return path
+
+
+def write_ivfadc_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    seed_iters: int = 3,
+    m: int = 8,
+    k: int = 64,
+    pq_iters: int = 8,
+) -> str:
+    """IVF-ADC (Jégou et al. 2011 §V) — the billion-scale serving
+    layout: coarse cells for pruning + PQ codes OF THE RESIDUALS for
+    compressed-domain scoring inside each cell.
+
+    Build: train the IVF codebook (hash-uniform sample + Lloyd), train
+    the PQ codebooks on the sample's residuals (x − raw cell centroid —
+    residuals are what PQ quantizes well, and re-centering each cell is
+    the OOD-recall fix for vectors far from any centroid), then one
+    Arrow pass assigns every row its cell + residual codes and writes
+    ``(id, _pq)`` ``partitionBy(_cell)``. Raw vectors are NOT duplicated
+    into the index — the probe reranks by id against the base table.
+    Sidecar JSON pins centroids + codebooks so probes can't mix
+    parameters. Deterministic end-to-end (seeded samples), so two
+    cluster sizes produce the same layout bit-for-bit."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from .pq import codebooks_from_sample, pq_sample
+    from .similarity import _ivf_centroids
+
+    centroids = _ivf_centroids(df, n_centroids, vec_col, id_col, seed_iters)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    sample = pq_sample(df, max(k * 40, 512), vec_col, id_col)
+    sn = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
+    residuals = sample - centroids[(sn @ cn.T).argmax(axis=1)]
+    books = codebooks_from_sample(residuals, m, k, pq_iters)
+    d_sub = books.shape[2]
+
+    # the index keeps the base table's native id type so the probe's
+    # rerank semi-join needs no casts on the 10^12-row side
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("_pq", ArrayType(IntegerType())),
+            StructField("_cell", IntegerType()),
+        ]
+    )
+
+    def assign_encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            nm = mat / np.clip(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None
+            )
+            cells = (nm @ cn.T).argmax(axis=1)
+            res = mat - centroids[cells]
+            codes = np.empty((len(mat), m), dtype="int32")
+            for s in range(m):
+                sub = res[:, s * d_sub : (s + 1) * d_sub]
+                cb = books[s]
+                d2 = (
+                    (sub**2).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ cb.T)
+                    + (cb**2).sum(axis=1)[None, :]
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "_pq": list(codes),
+                    "_cell": cells.astype("int32"),
+                }
+            )
+
+    df.select(id_col, vec_col).mapInPandas(assign_encode, out_schema).write.mode(
+        "overwrite"
+    ).partitionBy("_cell").parquet(os.path.join(path, "cells"))
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump(
+            {"centroids": centroids.tolist(), "codebooks": books.tolist()}, fh
+        )
+    return path
+
+
+def probe_ivfadc_index(
+    spark: SparkSession,
+    path: str,
+    base: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k probe against a :func:`write_ivfadc_index` layout.
+
+    The scan reads ONLY the probed cell directories (partition pruning
+    on ``_cell``). Scoring is pure JVM: q·x ≈ q·centroid(cell) +
+    Σ_s lut[s, code_s] — the inner product splits over the residual
+    decomposition, so the residual LUT is CELL-INDEPENDENT (unlike the
+    L2 formulation) and the cell term is one literal-array lookup. The
+    top-``rerank`` ADC candidates are exact-cosine reranked against the
+    base table (fetch-by-id semi-join) — compressed codes order the
+    scan, raw vectors only touch ``rerank`` rows."""
+    from .pq import _adc_lut
+    from .similarity import cosine_topk
+
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    centroids = np.asarray(meta["centroids"], dtype="float64")
+    books = np.asarray(meta["codebooks"], dtype="float64")
+    m, kk, _ = books.shape
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    q = np.asarray(query_vec, dtype="float64")
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:n_probe]]
+
+    cells = spark.read.parquet(os.path.join(path, "cells")).filter(
+        F.col("_cell").isin(probe_cells)
+    )
+    cell_dots = F.array(*[F.lit(float(v)) for v in centroids @ q])
+    lut_lit = F.array(*[F.lit(v) for v in _adc_lut(books, query_vec)])
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_pq"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(lut_lit, (s * kk + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cells.withColumn(
+        "_adc", F.element_at(cell_dots, F.col("_cell") + 1) + adc
+    )
+    cand_ids = (
+        scored.orderBy(F.desc("_adc"), F.col("id"))
+        .limit(rerank)
+        .select(F.col("id").alias(id_col))
+    )
+    candidates = base.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
 def probe_ivf_index(

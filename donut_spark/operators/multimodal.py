@@ -5,10 +5,15 @@ The reference carries images as files on disk next to metadata.jsonl
 shape is a media table ``(media_ref string, content binary,
 meta struct<format,width,height,n_frames>)`` joined to span tables on
 ``media_ref``. The Spark-side plumbing here — schemas, partitioning,
-``mapInPandas`` batch shape, join strategy — is real and tested; the
-actual codec work (PIL/ffmpeg-style decode) is NOT available in this
-container and is stubbed behind ``try: import`` with a deterministic
-fake, clearly marked.
+``mapInPandas`` batch shape, join strategy — is real and tested.
+
+Codecs: **PNG rows are REAL end-to-end** — the synthetic media table
+encodes actual truecolor PNG bytes (``core/png.py``, pure zlib), and
+decode/featurize/resize run a real parse → unfilter → pixel pipeline
+whose decoded dimensions and pixel checksums are verified against an
+independent SQL oracle (q29). JPEG/video codecs are NOT available in
+this container and stay stubbed behind ``try: import`` with a
+deterministic fake, clearly marked.
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -64,6 +70,10 @@ FEATURE_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("features", ArrayType(FloatType())),
+        # real-decode audit channel: sum of decoded RGB bytes (null for
+        # stub-codec formats) — what the q29 oracle recomputes from the
+        # generation arithmetic without any PNG code
+        StructField("pix_sum", LongType()),
     ]
 )
 
@@ -77,11 +87,41 @@ def _have_pillow() -> bool:
         return False
 
 
+def _ref_num(ref: str) -> int:
+    """Deterministic per-ref integer from the ``img_<doc>_<idx>`` naming
+    (fixtures.py): SQL-computable (split_part + cast), unlike a crc —
+    which is what lets the q29 oracle re-derive format choice, PNG
+    dimensions, and pixel values independently."""
+    parts = ref.split("_")
+    return int(parts[1]) * 1000 + int(parts[2])
+
+
+def _png_dims(num: int) -> tuple[int, int]:
+    return 8 + (num * 7) % 24, 8 + (num * 13) % 24
+
+
+def _png_pixels(num: int, width: int, height: int) -> bytes:
+    """pixel(x, y, c) = (7x + 13y + 29c + num) mod 256 — closed-form
+    arithmetic both the Spark synth and the SQL oracle evaluate."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64) * 7
+    y = np.arange(height, dtype=np.int64) * 13
+    c = np.arange(3, dtype=np.int64) * 29
+    grid = (y[:, None, None] + x[None, :, None] + c[None, None, :] + num) % 256
+    return grid.astype(np.uint8).tobytes()
+
+
 def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     """Deterministic media table for every media_ref in a spans table.
 
-    Content bytes are a seeded pseudo-payload (crc-chained), metadata is
-    derived from the ref hash — stable across runs and cluster sizes.
+    PNG-format rows (``num % 3 == 1``) carry REAL truecolor PNG bytes
+    (``core/png.py``) of small seed-derived dimensions, with metadata
+    matching the true encoded dims — so downstream decode is a real
+    codec exercise. jpeg/webm rows keep seeded pseudo-payloads with
+    hash-derived claimed metadata (no codec for them in this container).
+    Everything is derived from the ref string — stable across runs,
+    partitionings, and cluster sizes.
     """
     refs = (
         spans_df.select(F.explode("spans").alias("s"))
@@ -93,23 +133,27 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from ..core.png import encode_png
+
         for pdf in batches:
             rows = []
             for ref in pdf["media_ref"]:
+                num = _ref_num(ref)
+                fmt = ["jpeg", "png", "webm"][num % 3]
                 seed = zlib.crc32(ref.encode())
-                payload = (seed.to_bytes(4, "big") * 16)[:64]
-                rows.append(
-                    (
-                        ref,
-                        payload,
-                        {
-                            "format": ["jpeg", "png", "webm"][seed % 3],
-                            "width": 64 + seed % 512,
-                            "height": 64 + (seed >> 8) % 512,
-                            "n_frames": 1 if seed % 3 < 2 else 1 + seed % 120,
-                        },
-                    )
-                )
+                if fmt == "png":
+                    w, h = _png_dims(num)
+                    content = encode_png(_png_pixels(num, w, h), w, h)
+                    meta = {"format": fmt, "width": w, "height": h, "n_frames": 1}
+                else:
+                    content = (seed.to_bytes(4, "big") * 16)[:64]
+                    meta = {
+                        "format": fmt,
+                        "width": 64 + seed % 512,
+                        "height": 64 + (seed >> 8) % 512,
+                        "n_frames": 1 if fmt == "jpeg" else 1 + seed % 120,
+                    }
+                rows.append((ref, content, meta))
             yield pd.DataFrame(rows, columns=["media_ref", "content", "meta"])
 
     return refs.mapInPandas(gen, schema=MEDIA_SCHEMA)
@@ -118,34 +162,53 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
 def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
     """Decode media and emit fixed-size features, batch-wise.
 
-    Real codec path requires PIL/ffmpeg (absent here); the deterministic
-    fake derives width/height from metadata and features from a crc hash
-    chain over the bytes — the Spark plumbing (Arrow batch iteration,
-    schema, memory-bounded batches) is exactly what the real decoder
-    plugs into.
+    PNG rows run the REAL decode (``core/png.py``): width/height come
+    from the parsed IHDR, ``pix_sum`` is the sum of decoded RGB bytes
+    (the oracle-checkable pixel checksum), and features are per-band
+    grayscale means over the actual pixels (``feat_dim`` horizontal
+    bands, /255). jpeg/webm rows keep the deterministic fake (crc chain
+    over bytes, metadata dims, ``pix_sum`` null) — a real JPEG/video
+    codec (PIL/ffmpeg) is absent in this container; the Arrow batch
+    plumbing is exactly what it would plug into.
     """
     use_real = _have_pillow()
 
     def decode(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
+        from ..core.png import decode_png
+
         for pdf in batches:
-            if use_real:  # pragma: no cover - container has no PIL
-                raise NotImplementedError(
-                    "real image decode: plug PIL.Image.open over content bytes here"
-                )
             rows = []
             for ref, content, meta in zip(
                 pdf["media_ref"], pdf["content"], pdf["meta"]
             ):
-                h = zlib.crc32(bytes(content))
+                if meta["format"] == "png":
+                    w, h, rgb = decode_png(bytes(content))
+                    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                    gray = arr.mean(axis=2)
+                    bands = np.array_split(gray, feat_dim, axis=0)
+                    feats = [
+                        float(b.mean() / 255.0) if b.size else 0.0
+                        for b in bands
+                    ]
+                    rows.append((ref, w, h, feats, int(arr.sum())))
+                    continue
+                if use_real:  # pragma: no cover - container has no PIL
+                    raise NotImplementedError(
+                        "real jpeg/video decode: plug PIL.Image.open / "
+                        "ffmpeg over content bytes here"
+                    )
+                hsh = zlib.crc32(bytes(content))
                 feats = []
                 for i in range(feat_dim):
-                    h = zlib.crc32(i.to_bytes(2, "big"), h)
-                    feats.append((h % 10_000) / 10_000.0)
-                rows.append((ref, meta["width"], meta["height"], feats))
+                    hsh = zlib.crc32(i.to_bytes(2, "big"), hsh)
+                    feats.append((hsh % 10_000) / 10_000.0)
+                rows.append((ref, meta["width"], meta["height"], feats, None))
             yield pd.DataFrame(
-                rows, columns=["media_ref", "width", "height", "features"]
+                rows,
+                columns=["media_ref", "width", "height", "features", "pix_sum"],
             )
 
     return media_df.mapInPandas(decode, schema=FEATURE_SCHEMA)
@@ -190,24 +253,40 @@ def resize_media(
     media_df: DataFrame, width: int = 224, height: int = 224
 ) -> DataFrame:
     """Batch resize to a fixed target (the training-pipeline normalize
-    step). Real path is PIL ``Image.resize`` over ``content`` (absent in
-    this container); the deterministic fake emits a seed-derived payload
-    whose LENGTH scales with the target area, so batch-shape and memory
-    behavior track a real resize. The Spark plumbing — one Arrow batch
-    in, one out, bounded rows per batch, binary column through — is the
-    real contract."""
+    step; reference `donut/model.py:188-218` resize/pad).
+
+    PNG rows run a REAL decode → nearest-neighbor resize → re-encode
+    (``core/png.py``), so the output content is a valid PNG of the
+    target dimensions. jpeg/webm rows keep the deterministic fake
+    (seed-derived payload whose LENGTH scales with the target area, so
+    batch-shape and memory behavior track a real resize); a real
+    JPEG/video codec is absent in this container. The Spark plumbing —
+    one Arrow batch in, one out, bounded rows per batch, binary column
+    through — is the real contract either way."""
     use_real = _have_pillow()
 
     def rz(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from ..core.png import decode_png, encode_png, resize_nearest
+
         for pdf in batches:
-            if use_real:  # pragma: no cover - container has no PIL
-                raise NotImplementedError(
-                    "real resize: PIL.Image.open(content).resize((w, h)) here"
-                )
             rows = []
-            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+            for ref, content, meta in zip(
+                pdf["media_ref"], pdf["content"], pdf["meta"]
+            ):
+                if meta["format"] == "png":
+                    w, h, rgb = decode_png(bytes(content))
+                    resized = resize_nearest(rgb, w, h, width, height)
+                    rows.append(
+                        (ref, encode_png(resized, width, height), width, height)
+                    )
+                    continue
+                if use_real:  # pragma: no cover - container has no PIL
+                    raise NotImplementedError(
+                        "real jpeg/video resize: PIL.Image.open(content)"
+                        ".resize((w, h)) here"
+                    )
                 seed = zlib.crc32(bytes(content))
                 n = max(16, (width * height) // 512)
                 payload = (seed.to_bytes(4, "big") * ((n + 3) // 4))[:n]
@@ -232,14 +311,19 @@ def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            if use_real:  # pragma: no cover - container has no PIL/ffmpeg
-                raise NotImplementedError(
-                    "real frame sampling: decode content, step by every_n"
-                )
             rows = []
             for ref, content, meta in zip(
                 pdf["media_ref"], pdf["content"], pdf["meta"]
             ):
+                if meta["format"] == "png":
+                    # a still image IS its single frame — pass the real
+                    # (decodable) content through
+                    rows.append((ref, 0, bytes(content)))
+                    continue
+                if use_real:  # pragma: no cover - no ffmpeg in container
+                    raise NotImplementedError(
+                        "real frame sampling: decode content, step by every_n"
+                    )
                 n_frames = int(meta["n_frames"]) or 1
                 for idx in range(0, n_frames, every_n):
                     h = zlib.crc32(idx.to_bytes(4, "big"), zlib.crc32(bytes(content)))

@@ -33,32 +33,40 @@ from pyspark.sql.types import ArrayType, IntegerType
 
 from .similarity import cosine_topk
 
-__all__ = ["train_pq_codebooks", "pq_encode", "pq_adc_scores", "pq_topk"]
+__all__ = [
+    "train_pq_codebooks",
+    "codebooks_from_sample",
+    "pq_sample",
+    "pq_encode",
+    "pq_adc_scores",
+    "pq_topk",
+]
 
 
-def train_pq_codebooks(
-    df: DataFrame,
-    m: int = 8,
-    k: int = 16,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    iters: int = 8,
+def pq_sample(
+    df: DataFrame, n: int, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> np.ndarray:
-    """Train ``m`` subspace codebooks of ``k`` centroids each on a
-    hash-uniform driver-side sample. Returns (m, k, dim//m) float64 —
-    deterministic across runs, partitionings, and cluster sizes."""
-    sample = np.stack(
+    """Bounded hash-uniform driver-side sample (same discipline as
+    ``similarity._ivf_centroids``): top-``n`` rows by ``xxhash64(id)`` —
+    deterministic, order/partitioning-independent."""
+    return np.stack(
         [
             r[0]
             for r in df.select(
                 F.col(vec_col), F.xxhash64(F.col(id_col), F.lit(11)).alias("_h")
             )
             .orderBy("_h")
-            .limit(max(k * 40, 512))
+            .limit(n)
             .drop("_h")
             .collect()
         ]
     ).astype("float64")
+
+
+def codebooks_from_sample(sample: np.ndarray, m: int, k: int, iters: int = 8) -> np.ndarray:
+    """Per-subspace deterministic k-means (farthest-point seeding +
+    Lloyd, L2) over a sample matrix — shared by plain PQ (raw vectors)
+    and IVF-ADC (cell residuals). Returns (m, k, dim//m) float64."""
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -66,7 +74,6 @@ def train_pq_codebooks(
     books = np.empty((m, k, d_sub))
     for s in range(m):
         sub = sample[:, s * d_sub : (s + 1) * d_sub]
-        # deterministic k-means: farthest-point seeding + Lloyd (L2)
         chosen = [0]
         d2 = ((sub - sub[0]) ** 2).sum(axis=1)
         for _ in range(1, min(k, len(sub))):
@@ -85,6 +92,21 @@ def train_pq_codebooks(
         if len(cents) < k:  # tiny sample: pad with the first centroid
             books[s, len(cents) :] = cents[0]
     return books
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 8,
+) -> np.ndarray:
+    """Train ``m`` subspace codebooks of ``k`` centroids each on a
+    hash-uniform driver-side sample. Returns (m, k, dim//m) float64 —
+    deterministic across runs, partitionings, and cluster sizes."""
+    sample = pq_sample(df, max(k * 40, 512), vec_col, id_col)
+    return codebooks_from_sample(sample, m, k, iters)
 
 
 def pq_encode(

@@ -30,11 +30,17 @@ def read_table(spark: SparkSession, name: str, sf_dir: Optional[str] = None) -> 
     """Load a named table.
 
     Resolution order: Iceberg catalog table ``donut.<name>`` if an
-    Iceberg catalog is configured on the session; else
-    ``<sf_dir>/<name>.parquet``.
+    Iceberg catalog is configured on the session; else the SESSION
+    catalog's ``donut`` database if it holds the table (managed tables —
+    the catalog read path this sandbox can actually exercise, since no
+    Iceberg runtime jar or pyiceberg is installable here; the dispatch
+    and the table-resolution semantics are the same shape Iceberg's
+    catalog serves); else ``<sf_dir>/<name>.parquet``.
     """
     if spark.conf.get("spark.sql.catalog.donut", None):
         return spark.read.format("iceberg").load(f"donut.{name}")
+    if spark.catalog.tableExists(f"donut.{name}"):
+        return spark.table(f"donut.{name}")
     base = sf_dir or default_sf_dir()
     return spark.read.parquet(f"{base}/{name}.parquet")
 

@@ -328,6 +328,43 @@ def test_ivf_index_probe_equals_online(embeddings, tmp_path):
     assert "_cell" in scan and "PartitionFilters: []" not in scan
 
 
+def test_ivfadc_index_exact_regime_and_pruning(embeddings, tmp_path):
+    """IVF-ADC (Jégou 2011 §V — PQ codes of cell residuals stored per
+    IVF cell): with every cell probed and a rerank window >= the
+    candidate pool the probe must equal exact brute force; the pruned
+    probe must read ONLY the probed cell partitions (plan-pinned
+    PartitionFilters) and still surface the right cluster."""
+    from donut_spark.operators.ann_index import (
+        probe_ivfadc_index,
+        write_ivfadc_index,
+    )
+    from donut_spark.operators.similarity import cosine_topk
+
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    path = write_ivfadc_index(
+        embeddings, str(tmp_path / "ivfadc"), n_centroids=6, m=4, k=16
+    )
+    spark = embeddings.sparkSession
+    # exactness regime: all cells probed, rerank covers the whole table
+    got = probe_ivfadc_index(
+        spark, path, embeddings, q, k=10, n_probe=6, rerank=100
+    ).collect()
+    want = cosine_topk(embeddings, q, k=10).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    # pruned probe: partition pruning on _cell, right cluster on top
+    pruned = probe_ivfadc_index(spark, path, embeddings, q, k=5, n_probe=2, rerank=20)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scans = [s for s in plan.splitlines() if "PartitionFilters" in s]
+    assert any(
+        "_cell" in s and "PartitionFilters: []" not in s for s in scans
+    ), plan
+    assert all(r.vec_id % 3 == 0 for r in pruned.collect())
+    # the index stores codes, never vectors (compression is the point)
+    idx = spark.read.parquet(str(tmp_path / "ivfadc" / "cells"))
+    assert set(idx.columns) == {"id", "_pq", "_cell"}
+    assert len(idx.first()._pq) == 4  # m codes per vector
+
+
 def test_cosine_pairs_blocked_equals_brute_force(embeddings):
     """Blocked matmul all-pairs == numpy quadratic ground truth, with a
     block size small enough to force many blocks (cross-block pairs,

@@ -499,6 +499,33 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
         assert batch[key] == val
 
 
+def test_read_table_through_real_catalog(spark, tmp_path):
+    """read_table resolves managed tables through an actual catalog —
+    not just the parquet fallback and the Iceberg failure mode. The
+    sandbox has no Iceberg runtime jar and no pyiceberg (and no pip),
+    so the exercisable catalog is Spark's session catalog: a `donut`
+    database with a managed `documents` table must be served from the
+    catalog (provable: it keeps serving rows the parquet dir never had)."""
+    from pyspark.sql import Row
+
+    from donut_spark.sources.catalog import read_table
+
+    spark.sql(f"CREATE DATABASE donut LOCATION '{tmp_path / 'wh'}'")
+    try:
+        spark.createDataFrame(
+            [Row(doc_id="cat-only-1", text="served from the catalog")]
+        ).write.saveAsTable("donut.documents")
+        got = read_table(spark, "documents", SF_SMALL)
+        rows = got.collect()
+        assert [r.doc_id for r in rows] == ["cat-only-1"]  # catalog, not parquet
+        # other tables still fall back to the parquet dir
+        assert read_table(spark, "embeddings", SF_SMALL).limit(1).count() == 1
+    finally:
+        spark.sql("DROP DATABASE donut CASCADE")
+    # and after the drop, documents resolves to parquet again
+    assert read_table(spark, "documents", SF_SMALL).limit(1).first().doc_id != "cat-only-1"
+
+
 def test_iceberg_dispatch_is_taken_when_configured(spark):
     """read_table must route to the Iceberg reader when a catalog is
     configured (this container has no Iceberg jar, so the dispatch is
@@ -734,7 +761,24 @@ def test_multimodal_resize_and_frame_sample(spark):
     rows = rz.collect()
     assert len(rows) == n_media
     assert all(r.width == 128 and r.height == 96 for r in rows)
-    assert all(len(r.content) == (128 * 96) // 512 for r in rows)
+    # png rows are REAL: output decodes to the target dims and equals a
+    # nearest-neighbor resample of the original pixels; stub-codec rows
+    # keep the area-scaled fake payload
+    from donut_spark.core.png import decode_png, resize_nearest
+
+    fmts = {r.media_ref: r.meta.format for r in media.collect()}
+    originals = {r.media_ref: bytes(r.content) for r in media.collect()}
+    n_png = 0
+    for r in rows:
+        if fmts[r.media_ref] == "png":
+            w, h, rgb = decode_png(bytes(r.content))
+            assert (w, h) == (128, 96)
+            ow, oh, orgb = decode_png(originals[r.media_ref])
+            assert rgb == resize_nearest(orgb, ow, oh, 128, 96)
+            n_png += 1
+        else:
+            assert len(r.content) == (128 * 96) // 512
+    assert n_png > 0
     # deterministic across runs
     again = {r.media_ref: bytes(r.content) for r in resize_media(media, 128, 96).collect()}
     assert {r.media_ref: bytes(r.content) for r in rows} == again
