@@ -18,12 +18,15 @@ Semantics pinned to the reference implementation
   - the end-tag search injects the key into the pattern UNESCAPED
     (model.py:1031 ``fr"</s_{key}>"``), so regex metacharacters in a
     key behave as regex — ``<s_a.>`` closes at ``</s_ab>`` — and the
-    quirk is load-bearing for parity on adversarial tag soup. Sole
-    deviation: a key that makes the pattern fail to COMPILE (e.g. an
-    unbalanced paren) crashes the reference outright; we fall back to
-    literal matching instead, because a 10^12-doc scoring job must not
-    die on one malformed sequence (same philosophy as the S11
-    quarantine);
+    quirk is load-bearing for parity on adversarial tag soup. Two
+    deviations, both about not dying: (a) a key that makes the pattern
+    fail to COMPILE (e.g. an unbalanced paren) crashes the reference
+    outright — we fall back to literal matching; (b) a key whose
+    pattern is NULLABLE (e.g. ``a||b`` — empty alternative) makes the
+    reference livelock (the zero-width end match never advances the
+    cursor) — we treat it as unmatched and keep scanning. A 10^12-doc
+    scoring job must not die or spin on one malformed sequence (same
+    philosophy as the S11 quarantine);
   - the content regex runs WITHOUT DOTALL (model.py:1039), so a
     newline inside a value makes the content search fail and the key
     is dropped while scanning continues — reference-exact;
@@ -127,8 +130,13 @@ def _token2json(tokens: str, wrapped_vocab: set, is_inner: bool) -> Any:
             # the reference crashes here; we degrade to literal matching
             # (documented robustness deviation — see module docstring)
             end_m = re.search(re.escape(f"</s_{key}>"), tokens, re.IGNORECASE)
-        if end_m is None:
-            # unmatched start tag: drop it and keep scanning
+        if end_m is None or not end_m.group():
+            # Unmatched start tag: drop it and keep scanning. The
+            # zero-width case (e.g. key "a||b" — the empty alternative
+            # makes the end pattern nullable) LIVELOCKS the reference:
+            # tokens[find("") + 0:] never shrinks. Second documented
+            # termination deviation (see module docstring) — treat it
+            # as unmatched instead of spinning forever.
             tokens = tokens.replace(start_tok, "")
             continue
         end_tok = end_m.group()

@@ -148,13 +148,18 @@ def test_spark_submit_index_build(spark, tmp_path):
             "--input", f"{SF_SMALL}/embeddings.parquet",
             "--output", out_dir,
             "--n-centroids", "8",
+            "--kind", "all",
         ],
         capture_output=True, text=True, env=env, cwd=str(tmp_path),
         timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
 
-    from donut_spark.operators.ann_index import probe_ivf_index, probe_srp_index
+    from donut_spark.operators.ann_index import (
+        probe_ivf_index,
+        probe_ivfadc_index,
+        probe_srp_index,
+    )
     from donut_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
@@ -164,3 +169,7 @@ def test_spark_submit_index_build(spark, tmp_path):
     ivf_full = probe_ivf_index(spark, f"{out_dir}/ivf", q, k=10, n_probe=8).collect()
     brute = cosine_topk(emb, q, k=10).collect()
     assert [r.vec_id for r in ivf_full] == [r.vec_id for r in brute]
+    adc_full = probe_ivfadc_index(
+        spark, f"{out_dir}/ivfadc", emb, q, k=10, n_probe=8, rerank=500
+    ).collect()
+    assert [r.vec_id for r in adc_full] == [r.vec_id for r in brute]

@@ -73,14 +73,16 @@ def _reference_token2json(tokens, is_inner_value=False):
 
 def _compilable_end_tag(key: str) -> bool:
     """Keys whose UNESCAPED end-tag pattern fails to compile crash the
-    reference outright — our kernel deliberately survives them (see
-    tree.py docstring), so they're excluded from the parity property and
-    covered by test_invalid_regex_key_survives instead."""
+    reference outright, and keys whose pattern is NULLABLE (matches the
+    empty string — e.g. 'a||b') LIVELOCK it (the zero-width end match
+    never advances the cursor). Our kernel deliberately survives both
+    (see tree.py docstring), so they're excluded from the parity
+    property and covered by the directed tests below."""
     try:
-        re.compile(f"</s_{key}>", re.IGNORECASE)
-        return True
+        pat = re.compile(f"</s_{key}>", re.IGNORECASE)
     except re.error:
         return False
+    return pat.search("") is None  # nullable pattern -> reference livelocks
 
 
 # adversarial fragments: tags with metachar/cased keys, stray ends,
@@ -143,6 +145,22 @@ def test_invalid_regex_key_survives():
     with pytest.raises(re.error):
         _reference_token2json(soup)
     assert token2json(soup) == {"(": "v"}
+
+
+def test_nullable_key_terminates():
+    """A key whose unescaped end pattern matches the empty string (here
+    'aB||y' — empty alternation branch) makes the reference LIVELOCK:
+    the zero-width end match yields tokens[0 + 0:] forever. The
+    deliberate deviation: we treat the zero-width match as unmatched,
+    drop the start tag, and keep scanning — the call must terminate and
+    still parse the rest (found by fuzzing; a scoring job must not spin
+    on one malformed sequence)."""
+    soup = "txttxt <s_aB||y>a b\ntxt<sep/></s_><s_><yes/></s_cxa>"
+    out = token2json(soup, categorical_tokens=_VOCAB)  # must return
+    assert isinstance(out, dict)
+    # and in a clean tail-parse context the remainder still parses
+    out2 = token2json("<s_a||b>x</s_a||b><s_k>v</s_k>")
+    assert out2.get("k") == "v"
 
 
 def test_categorical_collision_roundtrip():
