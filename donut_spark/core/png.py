@@ -20,9 +20,10 @@ from __future__ import annotations
 import struct
 import zlib
 
-__all__ = ["encode_png", "decode_png", "resize_nearest"]
+__all__ = ["encode_png", "decode_png", "resize_nearest", "PNG_SIGNATURE"]
 
-_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_SIG = PNG_SIGNATURE
 _BPP = 3  # truecolor 8-bit: 3 bytes per pixel
 
 
@@ -44,6 +45,19 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _filter_row(ftype: int, row: bytes, prev: bytes) -> bytearray:
+    # the hot production paths (the encoder default is filter 0; Up has
+    # no intra-row dependency) are O(1) Python ops / one numpy subtract —
+    # a per-byte interpreter loop here costs tens of ms per 224×224
+    # image inside executor UDFs. Sub/Average/Paeth keep the loop (they
+    # exist so tests can exercise every decoder branch).
+    if ftype == 0:
+        return bytearray(row)
+    if ftype == 2:
+        import numpy as np
+
+        r = np.frombuffer(row, dtype=np.uint8)
+        p = np.frombuffer(prev, dtype=np.uint8)
+        return bytearray((r - p).tobytes())  # uint8 wraps mod 256
     out = bytearray(len(row))
     for i, x in enumerate(row):
         left = row[i - _BPP] if i >= _BPP else 0
@@ -65,6 +79,16 @@ def _filter_row(ftype: int, row: bytes, prev: bytes) -> bytearray:
 
 
 def _unfilter_row(ftype: int, row: bytearray, prev: bytes) -> bytearray:
+    # vectorized fast paths first (see _filter_row): filter 0 is the
+    # decode hot path for our own encoder's output
+    if ftype == 0:
+        return row
+    if ftype == 2:
+        import numpy as np
+
+        r = np.frombuffer(bytes(row), dtype=np.uint8)
+        p = np.frombuffer(prev, dtype=np.uint8)
+        return bytearray((r + p).tobytes())
     # in place: reconstructed bytes feed the left/upper-left references
     for i in range(len(row)):
         left = row[i - _BPP] if i >= _BPP else 0

@@ -44,6 +44,50 @@ __all__ = [
 ]
 
 
+def _write_meta(spark, path: str, obj: dict) -> None:
+    """Sidecar JSON via the Hadoop FS API — the parquet payloads already
+    land through Spark's committer, so on the HDFS/S3A deployments
+    submit/run_index.py advertises the sidecar must too (a local
+    ``open()`` on an s3a:// URI fails on the driver)."""
+    from .checkpoint import _fs_for
+
+    fs, p = _fs_for(spark, f"{path}/_meta.json")
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(obj).encode()))
+    out.close()
+
+
+def _read_meta(spark, path: str) -> dict:
+    from .checkpoint import _fs_for
+
+    fs, p = _fs_for(spark, f"{path}/_meta.json")
+    stream = fs.open(p)
+    try:
+        # IOUtils returns the byte[]; reading into a passed bytearray
+        # would NOT work — py4j passes it by value, Java-side writes
+        # never reach Python
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode())
+
+
+def _stable_probe_cells(cn: np.ndarray, qn: np.ndarray, n_probe: int) -> list:
+    """Top-``n_probe`` cells by query cosine, ties to the LOWEST cell —
+    the discipline the q41 oracle pins (ORDER BY dot DESC, cell). A bare
+    ``np.argsort`` uses an unstable quicksort, so an exact dot-product
+    tie at the probe boundary could flip the probe set between runs."""
+    order = np.argsort(-(cn @ qn), kind="stable")
+    return [int(c) for c in order[:n_probe]]
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize with a clipped norm: a zero/padding centroid must
+    not become a NaN row (NaN cosines make argmax assign every vector to
+    the garbage cell)."""
+    return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+
+
 def write_srp_index(
     df: DataFrame,
     path: str,
@@ -71,10 +115,11 @@ def write_srp_index(
     postings.write.mode("overwrite").partitionBy("band", "bval").parquet(
         os.path.join(path, "postings")
     )
-    with open(os.path.join(path, "_meta.json"), "w") as fh:
-        json.dump(
-            {"n_bits": n_bits, "bands": bands, "seed": seed, "dim": dim}, fh
-        )
+    _write_meta(
+        df.sparkSession,
+        path,
+        {"n_bits": n_bits, "bands": bands, "seed": seed, "dim": dim},
+    )
     return path
 
 
@@ -95,8 +140,7 @@ def probe_srp_index(
     the same parameters."""
     from .similarity import cosine_topk, query_band_sig
 
-    with open(os.path.join(path, "_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = _read_meta(spark, path)
     qsig = query_band_sig(
         query_vec, meta["dim"], meta["n_bits"], meta["bands"], meta["seed"]
     )
@@ -126,14 +170,13 @@ def write_ivf_index(
     from .similarity import _ivf_centroids, cell_assigner_udf
 
     centroids = _ivf_centroids(df, n_centroids, vec_col, id_col, seed_iters)
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = _unit_rows(centroids)
     cell_of = cell_assigner_udf(cn)
 
     df.withColumn("_cell", cell_of(F.col(vec_col))).write.mode(
         "overwrite"
     ).partitionBy("_cell").parquet(os.path.join(path, "cells"))
-    with open(os.path.join(path, "_meta.json"), "w") as fh:
-        json.dump({"centroids": centroids.tolist()}, fh)
+    _write_meta(df.sparkSession, path, {"centroids": centroids.tolist()})
     return path
 
 
@@ -173,7 +216,7 @@ def write_ivfadc_index(
     from .similarity import _ivf_centroids
 
     centroids = _ivf_centroids(df, n_centroids, vec_col, id_col, seed_iters)
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = _unit_rows(centroids)
     sample = pq_sample(df, max(k * 40, 512), vec_col, id_col)
     sn = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
     residuals = sample - centroids[(sn @ cn.T).argmax(axis=1)]
@@ -221,10 +264,11 @@ def write_ivfadc_index(
     df.select(id_col, vec_col).mapInPandas(assign_encode, out_schema).write.mode(
         "overwrite"
     ).partitionBy("_cell").parquet(os.path.join(path, "cells"))
-    with open(os.path.join(path, "_meta.json"), "w") as fh:
-        json.dump(
-            {"centroids": centroids.tolist(), "codebooks": books.tolist()}, fh
-        )
+    _write_meta(
+        df.sparkSession,
+        path,
+        {"centroids": centroids.tolist(), "codebooks": books.tolist()},
+    )
     return path
 
 
@@ -252,15 +296,14 @@ def probe_ivfadc_index(
     from .pq import _adc_lut
     from .similarity import cosine_topk
 
-    with open(os.path.join(path, "_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = _read_meta(spark, path)
     centroids = np.asarray(meta["centroids"], dtype="float64")
     books = np.asarray(meta["codebooks"], dtype="float64")
     m, kk, _ = books.shape
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = _unit_rows(centroids)
     q = np.asarray(query_vec, dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:n_probe]]
+    probe_cells = _stable_probe_cells(cn, qn, n_probe)
 
     cells = spark.read.parquet(os.path.join(path, "cells")).filter(
         F.col("_cell").isin(probe_cells)
@@ -304,12 +347,11 @@ def probe_ivf_index(
     parameters."""
     from .similarity import cosine_topk
 
-    with open(os.path.join(path, "_meta.json")) as fh:
-        centroids = np.asarray(json.load(fh)["centroids"], dtype="float64")
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    centroids = np.asarray(_read_meta(spark, path)["centroids"], dtype="float64")
+    cn = _unit_rows(centroids)
     q = np.asarray(query_vec, dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:n_probe]]
+    probe_cells = _stable_probe_cells(cn, qn, n_probe)
 
     cells = spark.read.parquet(os.path.join(path, "cells"))
     candidates = cells.filter(F.col("_cell").isin(probe_cells))

@@ -150,6 +150,10 @@ def run_resumable(
     # the marker write landing).
     _remove_orphan_buckets(spark, data_dir, done)
     _remove_orphan_buckets(spark, quarantine_dir, done)
+    # lineage too: an orphaned lineage row would certify (n_rows,
+    # checksum) for a bucket whose data/quarantine we just deleted —
+    # the audit must never outlive the data it audits
+    _remove_orphan_buckets(spark, f"{out_path}/lineage", done)
 
     split = error_col in result.columns
     if split:

@@ -91,9 +91,15 @@ def _ref_num(ref: str) -> int:
     """Deterministic per-ref integer from the ``img_<doc>_<idx>`` naming
     (fixtures.py): SQL-computable (split_part + cast), unlike a crc —
     which is what lets the q29 oracle re-derive format choice, PNG
-    dimensions, and pixel values independently."""
+    dimensions, and pixel values independently. Refs outside the
+    canonical naming fall back to a crc-derived number (still
+    deterministic; a malformed ref must not fail a corpus-scale job —
+    only the SQL replayability is lost for that row)."""
     parts = ref.split("_")
-    return int(parts[1]) * 1000 + int(parts[2])
+    try:
+        return int(parts[1]) * 1000 + int(parts[2])
+    except (IndexError, ValueError):
+        return zlib.crc32(ref.encode())
 
 
 def _png_dims(num: int) -> tuple[int, int]:
@@ -177,14 +183,17 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from ..core.png import decode_png
+        from ..core.png import PNG_SIGNATURE, decode_png
 
         for pdf in batches:
             rows = []
             for ref, content, meta in zip(
                 pdf["media_ref"], pdf["content"], pdf["meta"]
             ):
-                if meta["format"] == "png":
+                # content-signature dispatch: a row whose meta CLAIMS png
+                # but whose bytes aren't must take the stub path, not
+                # crash the decoder
+                if bytes(content).startswith(PNG_SIGNATURE):
                     w, h, rgb = decode_png(bytes(content))
                     arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
                     gray = arr.mean(axis=2)
@@ -268,15 +277,17 @@ def resize_media(
     def rz(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from ..core.png import decode_png, encode_png, resize_nearest
+        from ..core.png import PNG_SIGNATURE, decode_png, encode_png, resize_nearest
 
         for pdf in batches:
             rows = []
-            for ref, content, meta in zip(
-                pdf["media_ref"], pdf["content"], pdf["meta"]
-            ):
-                if meta["format"] == "png":
-                    w, h, rgb = decode_png(bytes(content))
+            # dispatch on the CONTENT signature, not a meta column: the
+            # output of resize_media itself (RESIZED_SCHEMA) has no
+            # meta, and chained resizes must keep working
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                raw = bytes(content)
+                if raw.startswith(PNG_SIGNATURE):
+                    w, h, rgb = decode_png(raw)
                     resized = resize_nearest(rgb, w, h, width, height)
                     rows.append(
                         (ref, encode_png(resized, width, height), width, height)
@@ -287,7 +298,7 @@ def resize_media(
                         "real jpeg/video resize: PIL.Image.open(content)"
                         ".resize((w, h)) here"
                     )
-                seed = zlib.crc32(bytes(content))
+                seed = zlib.crc32(raw)
                 n = max(16, (width * height) // 512)
                 payload = (seed.to_bytes(4, "big") * ((n + 3) // 4))[:n]
                 rows.append((ref, payload, width, height))
@@ -310,12 +321,14 @@ def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
     def frames(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from ..core.png import PNG_SIGNATURE
+
         for pdf in batches:
             rows = []
             for ref, content, meta in zip(
                 pdf["media_ref"], pdf["content"], pdf["meta"]
             ):
-                if meta["format"] == "png":
+                if bytes(content).startswith(PNG_SIGNATURE):
                     # a still image IS its single frame — pass the real
                     # (decodable) content through
                     rows.append((ref, 0, bytes(content)))

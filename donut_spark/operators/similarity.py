@@ -160,7 +160,12 @@ def srp_signatures(
     write it once beside the table (partitioned/bucketed by a band hash
     if probes dominate) and pass it to :func:`hyperplane_lsh_topk` via
     ``sig_df`` — queries then pay zero signature recompute over 10^12
-    rows."""
+    rows.
+
+    Pass ``dim`` explicitly in pipelines (every internal caller does):
+    the ``None`` default infers it with a ``first()`` — one extra
+    driver action per call, convenient interactively, wasteful in a
+    loop."""
     if n_bits % bands:
         raise ValueError("bands must divide n_bits")
     if dim is None:
@@ -291,12 +296,20 @@ def ivf_topk(
         cn = np.asarray(centroids, dtype="float64")
     else:
         trained = _ivf_centroids(df, n_centroids, vec_col, id_col, seed_iters)
-        cn = trained / np.linalg.norm(trained, axis=1, keepdims=True)
+        # clipped norm: a zero/padding centroid must not become a NaN
+        # row (NaN cosines would argmax every vector into one cell)
+        cn = trained / np.clip(
+            np.linalg.norm(trained, axis=1, keepdims=True), 1e-12, None
+        )
     cell_of = cell_assigner_udf(cn)
 
     q = np.asarray(query_vec, dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:n_probe]]
+    # stable sort: ties at the probe boundary go to the LOWEST cell —
+    # the same discipline the q41 oracle pins (ORDER BY dot DESC, cell)
+    probe_cells = [
+        int(c) for c in np.argsort(-(cn @ qn), kind="stable")[:n_probe]
+    ]
 
     candidates = df.withColumn("_cell", cell_of(F.col(vec_col))).filter(
         F.col("_cell").isin(probe_cells)
@@ -321,6 +334,8 @@ def srp_candidate_pairs(
 
     Release the internally persisted banded frame with
     ``plans.cache.release_persisted(result)`` after consuming the result.
+    Pass ``dim`` explicitly in pipelines — the ``None`` default costs a
+    ``first()`` driver action (see :func:`srp_signatures`).
     """
     if n_bits % bands:
         raise ValueError("bands must divide n_bits")

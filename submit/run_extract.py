@@ -86,11 +86,18 @@ def main() -> None:
         result = spark.read.parquet(f"{args.output}/data")
         print(f"resumable run: processed buckets {done}")
     else:
-        evaluated = extract(spans)
+        from pyspark.storagelevel import StorageLevel
+
+        # persist across the good/bad writes: the two quarantine_split
+        # filters are views over the SAME lazy frame, and without the
+        # persist the second write re-runs the whole extraction kernel
+        # (the dominant cost) just to collect the errored rows
+        evaluated = extract(spans).persist(StorageLevel.MEMORY_AND_DISK)
         result, bad = quarantine_split(evaluated)
         result.write.mode("overwrite").parquet(f"{args.output}/data")
-        result = spark.read.parquet(f"{args.output}/data")
         bad.write.mode("overwrite").parquet(f"{args.output}/quarantine")
+        evaluated.unpersist()
+        result = spark.read.parquet(f"{args.output}/data")
         lineage_metrics(result).write.mode("overwrite").parquet(
             f"{args.output}/lineage"
         )

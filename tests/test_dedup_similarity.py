@@ -218,6 +218,49 @@ def test_ivf_recall_on_unclustered_ood_data(spark):
     assert min(recalls) >= 0.9, recalls
 
 
+def test_ivfadc_recall_on_ood_data(spark, tmp_path):
+    """Residual encoding is the OOD story (worklog backlog item): a
+    vector far from every coarse centroid still gets a FINE code because
+    PQ quantizes (x − centroid), not x. Same adversarial layout as the
+    plain-IVF OOD test; pruned IVF-ADC probes of the tail clusters must
+    keep recall@20 >= 0.9 vs brute force."""
+    import math
+
+    from donut_spark.operators.ann_index import (
+        probe_ivfadc_index,
+        write_ivfadc_index,
+    )
+    from donut_spark.operators.similarity import cosine_topk
+
+    rows = []
+    dim = 16
+    for i in range(400):
+        cluster = 0 if i < 200 else (i % 8)
+        vec = [0.0] * dim
+        vec[cluster] = 1.0
+        vec[(cluster + 8) % dim] = 0.4 * math.sin(i * 1.7)
+        vec[(cluster + 3) % dim] = 0.2 * math.cos(i * 0.9)
+        rows.append((i, [float(v) for v in vec]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = write_ivfadc_index(
+        df, str(tmp_path / "adc"), n_centroids=12, m=8, k=32
+    )
+
+    recalls = []
+    for axis in (1, 4, 7):  # tail clusters a head-sample would miss
+        q = [0.0] * dim
+        q[axis] = 1.0
+        brute = {r.vec_id for r in cosine_topk(df, q, k=20).collect()}
+        approx = {
+            r.vec_id
+            for r in probe_ivfadc_index(
+                spark, path, df, q, k=20, n_probe=6, rerank=60
+            ).collect()
+        }
+        recalls.append(len(brute & approx) / 20)
+    assert min(recalls) >= 0.9, recalls
+
+
 def test_embedding_near_dup_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

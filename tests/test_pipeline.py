@@ -782,6 +782,16 @@ def test_multimodal_resize_and_frame_sample(spark):
     # deterministic across runs
     again = {r.media_ref: bytes(r.content) for r in resize_media(media, 128, 96).collect()}
     assert {r.media_ref: bytes(r.content) for r in rows} == again
+    # chaining: resize output has NO meta column (RESIZED_SCHEMA) — the
+    # content-signature dispatch must still resize the PNGs again
+    rz2 = resize_media(rz, width=64, height=48).collect()
+    assert len(rz2) == n_media
+    n_png2 = sum(
+        1 for r in rz2
+        if bytes(r.content).startswith(b"\x89PNG")
+        and decode_png(bytes(r.content))[:2] == (64, 48)
+    )
+    assert n_png2 == n_png
 
     fr = sample_frames(media, every_n=25)
     # videos (n_frames > 1) expand to multiple rows; every media has >= 1
@@ -790,3 +800,24 @@ def test_multimodal_resize_and_frame_sample(spark):
     metas = {r.media_ref: r.meta.n_frames for r in media.collect()}
     for ref, n in per_ref.items():
         assert n == len(range(0, max(metas[ref], 1), 25))
+
+
+def test_multimodal_mislabeled_meta_does_not_crash(spark):
+    """A row whose meta CLAIMS png but whose bytes are not a PNG must
+    take the stub path (content-signature dispatch), not crash the
+    decoder; and a media_ref outside the canonical img_<int>_<int>
+    naming must not fail synthesis-side helpers."""
+    from donut_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _ref_num,
+        decode_and_featurize,
+        resize_media,
+    )
+
+    assert isinstance(_ref_num("img_doc-x_y!"), int)  # crc fallback
+    rows = [("weird_ref", b"notapng", ("png", 100, 100, 1))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = decode_and_featurize(media).collect()
+    assert len(feats) == 1 and feats[0].pix_sum is None  # stub path
+    rz = resize_media(media, 32, 32).collect()
+    assert rz[0].width == 32
