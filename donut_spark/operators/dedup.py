@@ -39,6 +39,7 @@ __all__ = [
     "hot_buckets",
     "hot_shingles",
     "contamination_overlap",
+    "benchmark_shingle_set",
 ]
 
 
@@ -469,6 +470,26 @@ def hot_shingles(
         shingled.groupBy("sh")
         .agg(F.count("*").alias("doc_freq"))
         .filter(F.col("doc_freq") > max_shingle_df)
+    )
+
+
+def benchmark_shingle_set(
+    benchmark: DataFrame, text_col: str = "text", n: int = 8, key: str = "doc_id"
+) -> frozenset:
+    """Driver-side distinct shingle set of an evaluation corpus — the
+    broadcastable side of a contamination sweep (benchmark sets are
+    small by definition; the corpus never is). Shingle semantics are
+    IDENTICAL to :func:`_shingle_explode` (computed by it), so the
+    streaming filter built on this set flags exactly the rows the batch
+    :func:`contamination_overlap` would."""
+    if key not in benchmark.columns:
+        key = benchmark.columns[0]
+    return frozenset(
+        r.sh
+        for r in _shingle_explode(benchmark, text_col, key, n)
+        .select("sh")
+        .distinct()
+        .collect()
     )
 
 

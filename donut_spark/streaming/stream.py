@@ -11,12 +11,22 @@ or rate source here).
 
 from __future__ import annotations
 
+# module-top pandas: pandas_udf resolves 'pd.Series'/'pd.DataFrame'
+# type hints against the defining module's globals — a local import
+# inside the factory fails with UNSUPPORTED_SIGNATURE
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.extract import extract_documents
 from ..sources.fixtures import SPANS_TABLE_SCHEMA
 
-__all__ = ["stream_extract_from_files", "windowed_event_counts"]
+__all__ = [
+    "stream_extract_from_files",
+    "windowed_event_counts",
+    "sessionize",
+    "streaming_exact_dedup",
+    "streaming_contamination",
+]
 
 
 def stream_extract_from_files(
@@ -139,3 +149,60 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["fp"])
         .drop("fp")
     )
+
+
+def streaming_contamination(
+    docs: DataFrame,
+    benchmark_shingles: frozenset,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Ingest-time train/test contamination flag — the streaming twin of
+    ``operators.dedup.contamination_overlap`` (oracle-backed q52).
+
+    STATELESS by design: the benchmark side of a contamination sweep is
+    small by definition, so its distinct shingle set
+    (``dedup.benchmark_shingle_set`` — computed by the SAME JVM shingle
+    expression the batch sweep uses) collects once driver-side and
+    rides the UDF closure as a broadcast. The corpus stream then passes
+    through one Arrow-batched map — no state, no watermark, any output
+    mode, and the scale shape matches the batch plan (the 10^12-doc
+    side never shuffles). Adds ``n_hits``/``n_distinct_hits`` columns;
+    filter downstream (``n_hits >= 1``) to quarantine leaks at ingest.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    bench = benchmark_shingles  # closure-broadcast
+
+    hit_schema = StructType(
+        [
+            StructField("n_hits", IntegerType()),
+            StructField("n_distinct_hits", IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(hit_schema)
+    def hits(text: pd.Series) -> pd.DataFrame:
+        out = []
+        for t in text:
+            # python twin of dedup._shingle_explode's JVM expression:
+            # split(lower, \s+), i in 0..max(len-n, 0), join by ' ',
+            # distinct, drop ''
+            words = _re.split(r"\s+", (t or "").lower())
+            top = max(len(words) - n, 0)
+            all_sh = [" ".join(words[i : i + n]) for i in range(top + 1)]
+            distinct = {s for s in all_sh if s}
+            matched = distinct & bench
+            # n_hits counts distinct-shingle occurrences like the batch
+            # groupBy over the distinct-exploded frame (one row per
+            # distinct shingle per doc), so the two twins agree exactly
+            out.append((len(matched), len(matched)))
+        return pd.DataFrame(out, columns=["n_hits", "n_distinct_hits"])
+
+    return docs.withColumn("_c", hits(F.col(text_col))).select(
+        "*", F.col("_c.n_hits").alias("n_hits"),
+        F.col("_c.n_distinct_hits").alias("n_distinct_hits")
+    ).drop("_c")

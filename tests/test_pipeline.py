@@ -802,6 +802,68 @@ def test_multimodal_resize_and_frame_sample(spark):
         assert n == len(range(0, max(metas[ref], 1), 25))
 
 
+def test_streaming_contamination_matches_batch_twin(spark, tmp_path):
+    """Ingest-time contamination flag: the stateless streaming filter
+    (broadcast benchmark shingle set) must flag exactly the docs —
+    with the same hit counts — as the batch contamination_overlap
+    sweep (oracle-backed q52) on the same data."""
+    import os
+
+    from donut_spark.operators.dedup import (
+        benchmark_shingle_set,
+        contamination_overlap,
+    )
+    from donut_spark.streaming.stream import streaming_contamination
+
+    leak = "the quick brown fox jumps over the lazy dog tonight again"
+    rows = [
+        (100, f"corpus preamble {leak} corpus tail words here"),  # leaked
+        (101, "completely unrelated text with many different words in it"),
+        (102, f"{leak}"),  # verbatim benchmark doc
+    ]
+    bench_rows = [(1, leak), (2, "another held out evaluation document text")]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+
+    expected = {
+        r.doc_id: (r.n_hits, r.n_distinct_hits)
+        for r in contamination_overlap(corpus, bench, n=8).collect()
+    }
+    assert 100 in expected and 102 in expected and 101 not in expected
+
+    shingles = benchmark_shingle_set(bench, n=8)
+    # batch parity (the pandas UDF runs identically on static frames)
+    flagged = {
+        r.doc_id: (r.n_hits, r.n_distinct_hits)
+        for r in streaming_contamination(corpus, shingles, n=8)
+        .filter(F.col("n_hits") >= 1)
+        .collect()
+    }
+    assert flagged == expected
+
+    # and through a real file stream
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    corpus.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream = spark.readStream.schema(corpus.schema).parquet(src + "/*")
+    q = (
+        streaming_contamination(stream, shingles, n=8)
+        .filter(F.col("n_hits") >= 1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r.doc_id: (r.n_hits, r.n_distinct_hits)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == expected
+
+
 def test_multimodal_mislabeled_meta_does_not_crash(spark):
     """A row whose meta CLAIMS png but whose bytes are not a PNG must
     take the stub path (content-signature dispatch), not crash the
