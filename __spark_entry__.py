@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` — one named query per implemented operator family from
 SURVEY.md §2 (+ the training-data-pipeline operators).
-``oracle_sql()`` — DuckDB twins for ALL 52 queries, including the
+``oracle_sql()`` — DuckDB twins for ALL 53 queries, including the
 LSH/ANN family (committed fingerprint/hyperplane/IVF-codebook fixtures
 let SQL brute-force or independently replay the blocking — even the
 pruned-probe q41, whose frozen codebook makes cell assignment and probe

@@ -141,13 +141,22 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a PNG (bad signature)")
     pos, width, height, idat = 8, None, None, bytearray()
     while pos < len(data):
+        # bounds before unpack: truncated/garbage chunk data must raise
+        # a clean ValueError, not struct.error, so callers can guard the
+        # decode with one exception class
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk payload")
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(tag + payload) != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(payload) != 13:
+                raise ValueError("malformed PNG IHDR")
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
@@ -163,7 +172,10 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = width * _BPP
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG scanline data has wrong length")

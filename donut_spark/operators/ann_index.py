@@ -72,20 +72,10 @@ def _read_meta(spark, path: str) -> dict:
     return json.loads(bytes(data).decode())
 
 
-def _stable_probe_cells(cn: np.ndarray, qn: np.ndarray, n_probe: int) -> list:
-    """Top-``n_probe`` cells by query cosine, ties to the LOWEST cell —
-    the discipline the q41 oracle pins (ORDER BY dot DESC, cell). A bare
-    ``np.argsort`` uses an unstable quicksort, so an exact dot-product
-    tie at the probe boundary could flip the probe set between runs."""
-    order = np.argsort(-(cn @ qn), kind="stable")
-    return [int(c) for c in order[:n_probe]]
-
-
-def _unit_rows(mat: np.ndarray) -> np.ndarray:
-    """Row-normalize with a clipped norm: a zero/padding centroid must
-    not become a NaN row (NaN cosines make argmax assign every vector to
-    the garbage cell)."""
-    return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+# single shared definitions with the online operators (similarity.py) so
+# the probe tie-break and NaN-guard disciplines can't drift between the
+# persisted-index and online paths
+from .similarity import _stable_probe_cells, _unit_rows  # noqa: E402
 
 
 def write_srp_index(

@@ -22,6 +22,8 @@ bit-for-bit.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -40,6 +42,7 @@ __all__ = [
     "hot_shingles",
     "contamination_overlap",
     "benchmark_shingle_set",
+    "BenchmarkShingles",
 ]
 
 
@@ -473,24 +476,35 @@ def hot_shingles(
     )
 
 
+class BenchmarkShingles(NamedTuple):
+    """A benchmark's distinct shingle set WITH the n-gram size it was
+    built at: consumers (the streaming filter) take the whole pair, so
+    a benchmark built at n=13 can never be silently probed with 8-gram
+    corpus shingles and return zero hits — the same no-silent-parameter-
+    mix discipline as the ANN index _meta.json sidecars."""
+
+    n: int
+    shingles: frozenset
+
+
 def benchmark_shingle_set(
-    benchmark: DataFrame, text_col: str = "text", n: int = 8, key: str = "doc_id"
-) -> frozenset:
+    benchmark: DataFrame, text_col: str = "text", n: int = 8
+) -> BenchmarkShingles:
     """Driver-side distinct shingle set of an evaluation corpus — the
     broadcastable side of a contamination sweep (benchmark sets are
     small by definition; the corpus never is). Shingle semantics are
     IDENTICAL to :func:`_shingle_explode` (computed by it), so the
     streaming filter built on this set flags exactly the rows the batch
     :func:`contamination_overlap` would."""
-    if key not in benchmark.columns:
-        key = benchmark.columns[0]
-    return frozenset(
-        r.sh
-        for r in _shingle_explode(benchmark, text_col, key, n)
+    # the key column is projected away before distinct — any existing
+    # column works; text_col exists by definition
+    rows = (
+        _shingle_explode(benchmark, text_col, text_col, n)
         .select("sh")
         .distinct()
         .collect()
     )
+    return BenchmarkShingles(n, frozenset(r.sh for r in rows))
 
 
 def contamination_overlap(

@@ -190,11 +190,20 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
             for ref, content, meta in zip(
                 pdf["media_ref"], pdf["content"], pdf["meta"]
             ):
-                # content-signature dispatch: a row whose meta CLAIMS png
-                # but whose bytes aren't must take the stub path, not
-                # crash the decoder
+                # content-signature dispatch, decode guarded: a row whose
+                # meta claims png but whose bytes aren't takes the stub
+                # path via the signature check; a SIGNED but unsupported
+                # or corrupt PNG (grayscale/16-bit/interlaced, truncated
+                # IDAT, bad CRC) must ALSO fall through to the stub, not
+                # kill a corpus-scale stage on one poison row
+                decoded = None
                 if bytes(content).startswith(PNG_SIGNATURE):
-                    w, h, rgb = decode_png(bytes(content))
+                    try:
+                        decoded = decode_png(bytes(content))
+                    except (ValueError, NotImplementedError):
+                        decoded = None
+                if decoded is not None:
+                    w, h, rgb = decoded
                     arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
                     gray = arr.mean(axis=2)
                     bands = np.array_split(gray, feat_dim, axis=0)
@@ -286,8 +295,14 @@ def resize_media(
             # meta, and chained resizes must keep working
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 raw = bytes(content)
+                decoded = None
                 if raw.startswith(PNG_SIGNATURE):
-                    w, h, rgb = decode_png(raw)
+                    try:  # unsupported/corrupt PNG -> stub, never a crash
+                        decoded = decode_png(raw)
+                    except (ValueError, NotImplementedError):
+                        decoded = None
+                if decoded is not None:
+                    w, h, rgb = decoded
                     resized = resize_nearest(rgb, w, h, width, height)
                     rows.append(
                         (ref, encode_png(resized, width, height), width, height)

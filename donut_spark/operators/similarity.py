@@ -116,6 +116,24 @@ def query_band_sig(
     return _band_sig(qbits, bands)
 
 
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize with a clipped norm: a zero/padding centroid must
+    not become a NaN row (NaN cosines make argmax assign every vector to
+    the garbage cell). Single definition shared by the online ivf_topk
+    and every ann_index writer/prober so the disciplines can't drift."""
+    return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+
+
+def _stable_probe_cells(cn: np.ndarray, qn: np.ndarray, n_probe: int) -> list:
+    """Top-``n_probe`` cells by query cosine, ties to the LOWEST cell —
+    the discipline the q41 oracle pins (ORDER BY dot DESC, cell). A bare
+    ``np.argsort`` uses an unstable quicksort, so an exact dot-product
+    tie at the probe boundary could flip the probe set between runs.
+    Single shared definition (see :func:`_unit_rows`)."""
+    order = np.argsort(-(cn @ qn), kind="stable")
+    return [int(c) for c in order[:n_probe]]
+
+
 def cell_assigner_udf(cn: np.ndarray):
     """Pandas UDF assigning each vector its nearest-centroid cell over a
     broadcast normalized codebook — shared by the online ivf_topk and
@@ -296,20 +314,12 @@ def ivf_topk(
         cn = np.asarray(centroids, dtype="float64")
     else:
         trained = _ivf_centroids(df, n_centroids, vec_col, id_col, seed_iters)
-        # clipped norm: a zero/padding centroid must not become a NaN
-        # row (NaN cosines would argmax every vector into one cell)
-        cn = trained / np.clip(
-            np.linalg.norm(trained, axis=1, keepdims=True), 1e-12, None
-        )
+        cn = _unit_rows(trained)
     cell_of = cell_assigner_udf(cn)
 
     q = np.asarray(query_vec, dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)
-    # stable sort: ties at the probe boundary go to the LOWEST cell —
-    # the same discipline the q41 oracle pins (ORDER BY dot DESC, cell)
-    probe_cells = [
-        int(c) for c in np.argsort(-(cn @ qn), kind="stable")[:n_probe]
-    ]
+    probe_cells = _stable_probe_cells(cn, qn, n_probe)
 
     candidates = df.withColumn("_cell", cell_of(F.col(vec_col))).filter(
         F.col("_cell").isin(probe_cells)

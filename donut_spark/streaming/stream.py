@@ -153,9 +153,8 @@ def streaming_exact_dedup(
 
 def streaming_contamination(
     docs: DataFrame,
-    benchmark_shingles: frozenset,
+    benchmark_shingles: "BenchmarkShingles",
     text_col: str = "text",
-    n: int = 8,
 ) -> DataFrame:
     """Ingest-time train/test contamination flag — the streaming twin of
     ``operators.dedup.contamination_overlap`` (oracle-backed q52).
@@ -163,7 +162,8 @@ def streaming_contamination(
     STATELESS by design: the benchmark side of a contamination sweep is
     small by definition, so its distinct shingle set
     (``dedup.benchmark_shingle_set`` — computed by the SAME JVM shingle
-    expression the batch sweep uses) collects once driver-side and
+    expression the batch sweep uses, and carrying its n-gram size so a
+    mismatched probe is impossible) collects once driver-side and
     rides the UDF closure as a broadcast. The corpus stream then passes
     through one Arrow-batched map — no state, no watermark, any output
     mode, and the scale shape matches the batch plan (the 10^12-doc
@@ -175,7 +175,14 @@ def streaming_contamination(
     from pyspark.sql import functions as F
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    bench = benchmark_shingles  # closure-broadcast
+    n = benchmark_shingles.n
+    bench = benchmark_shingles.shingles  # closure-broadcast
+    # Java's \s is ASCII-only; Python's is Unicode-aware. The batch twin
+    # splits with the JVM regex, so a doc containing U+00A0 (non-breaking
+    # space — ubiquitous in scraped web text) must tokenize identically
+    # here or a verbatim leak slips the ingest filter the batch sweep
+    # would flag.
+    java_ws = _re.compile("[ \\t\\n\\x0b\\f\\r]+")
 
     hit_schema = StructType(
         [
@@ -190,8 +197,8 @@ def streaming_contamination(
         for t in text:
             # python twin of dedup._shingle_explode's JVM expression:
             # split(lower, \s+), i in 0..max(len-n, 0), join by ' ',
-            # distinct, drop ''
-            words = _re.split(r"\s+", (t or "").lower())
+            # distinct, drop '' — with the JAVA (ASCII) \s class
+            words = java_ws.split((t or "").lower())
             top = max(len(words) - n, 0)
             all_sh = [" ".join(words[i : i + n]) for i in range(top + 1)]
             distinct = {s for s in all_sh if s}

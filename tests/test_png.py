@@ -59,6 +59,18 @@ def test_decoder_rejects_corruption():
         decode_png(bytes(data))
 
 
+def test_decoder_rejects_truncation_with_valueerror():
+    """Truncated / garbage-after-signature input must raise ValueError
+    (ONE guardable class), never struct.error or zlib.error — the
+    multimodal stub-fallback catches (ValueError, NotImplementedError)."""
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"garbage not chunks")
+    whole = encode_png(_pattern(6, 4), 6, 4)
+    for cut in (9, 20, len(whole) - 5):
+        with pytest.raises(ValueError):
+            decode_png(whole[:cut])
+
+
 def test_decoder_rejects_out_of_scope_formats():
     """Grayscale/16-bit/interlaced inputs must raise loudly, not return
     garbage pixels."""
