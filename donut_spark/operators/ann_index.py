@@ -39,6 +39,7 @@ __all__ = [
     "probe_srp_index",
     "write_ivf_index",
     "probe_ivf_index",
+    "train_ivfadc",
     "write_ivfadc_index",
     "probe_ivfadc_index",
 ]
@@ -48,13 +49,26 @@ def _write_meta(spark, path: str, obj: dict) -> None:
     """Sidecar JSON via the Hadoop FS API — the parquet payloads already
     land through Spark's committer, so on the HDFS/S3A deployments
     submit/run_index.py advertises the sidecar must too (a local
-    ``open()`` on an s3a:// URI fails on the driver)."""
+    ``open()`` on an s3a:// URI fails on the driver).
+
+    Published atomically (write ``_meta.json.tmp``, then rename): the
+    probes — and the builders' existence-keyed idempotency checks — use
+    this file as the index commit marker, so a crash mid-write must
+    leave either no marker (rebuild happens) or a complete one, never a
+    truncated JSON that both breaks probes and suppresses the rebuild.
+    Rename is atomic on HDFS and local FS (same discipline as
+    ``fixtures.materialize_*``'s tmp+os.replace publish)."""
     from .checkpoint import _fs_for
 
-    fs, p = _fs_for(spark, f"{path}/_meta.json")
-    out = fs.create(p, True)
+    fs, tmp = _fs_for(spark, f"{path}/_meta.json.tmp")
+    out = fs.create(tmp, True)
     out.write(bytearray(json.dumps(obj).encode()))
     out.close()
+    _, final = _fs_for(spark, f"{path}/_meta.json")
+    if fs.exists(final):  # HDFS rename won't clobber; local FS varies
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"atomic publish of {path}/_meta.json failed")
 
 
 def _read_meta(spark, path: str) -> dict:
@@ -170,6 +184,36 @@ def write_ivf_index(
     return path
 
 
+def train_ivfadc(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    seed_iters: int = 3,
+    m: int = 8,
+    k: int = 64,
+    pq_iters: int = 8,
+):
+    """Train the IVF-ADC parameters: the coarse IVF codebook
+    (hash-uniform sample + Lloyd) and the per-subspace PQ codebooks of
+    the sample's CELL RESIDUALS (x − raw cell centroid — residuals are
+    what PQ quantizes well). Returns ``(centroids, books)`` float64
+    arrays of shape (n_centroids, dim) / (m, k, dim//m). Deterministic
+    (seeded samples, argmax ties to the lowest cell), so the committed
+    oracle fixture (``fixtures.materialize_ivfadc_codebooks``) and a
+    fresh index build can be asserted bit-identical."""
+    from .pq import codebooks_from_sample, pq_sample
+    from .similarity import _ivf_centroids
+
+    centroids = _ivf_centroids(df, n_centroids, vec_col, id_col, seed_iters)
+    cn = _unit_rows(centroids)
+    sample = pq_sample(df, max(k * 40, 512), vec_col, id_col)
+    sn = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
+    residuals = sample - centroids[(sn @ cn.T).argmax(axis=1)]
+    books = codebooks_from_sample(residuals, m, k, pq_iters)
+    return centroids, books
+
+
 def write_ivfadc_index(
     df: DataFrame,
     path: str,
@@ -180,6 +224,8 @@ def write_ivfadc_index(
     m: int = 8,
     k: int = 64,
     pq_iters: int = 8,
+    centroids: np.ndarray | None = None,
+    books: np.ndarray | None = None,
 ) -> str:
     """IVF-ADC (Jégou et al. 2011 §V) — the billion-scale serving
     layout: coarse cells for pruning + PQ codes OF THE RESIDUALS for
@@ -194,7 +240,11 @@ def write_ivfadc_index(
     into the index — the probe reranks by id against the base table.
     Sidecar JSON pins centroids + codebooks so probes can't mix
     parameters. Deterministic end-to-end (seeded samples), so two
-    cluster sizes produce the same layout bit-for-bit."""
+    cluster sizes produce the same layout bit-for-bit.
+
+    Pass pre-trained ``centroids``/``books`` (e.g. the committed oracle
+    fixture's) to skip training — the frozen-parameter regime that makes
+    the pruned probe exactly oracle-replayable (q54)."""
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
@@ -202,15 +252,14 @@ def write_ivfadc_index(
         StructType,
     )
 
-    from .pq import codebooks_from_sample, pq_sample
-    from .similarity import _ivf_centroids
-
-    centroids = _ivf_centroids(df, n_centroids, vec_col, id_col, seed_iters)
+    if centroids is None or books is None:
+        centroids, books = train_ivfadc(
+            df, vec_col, id_col, n_centroids, seed_iters, m, k, pq_iters
+        )
+    centroids = np.asarray(centroids, dtype="float64")
+    books = np.asarray(books, dtype="float64")
+    m = books.shape[0]
     cn = _unit_rows(centroids)
-    sample = pq_sample(df, max(k * 40, 512), vec_col, id_col)
-    sn = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
-    residuals = sample - centroids[(sn @ cn.T).argmax(axis=1)]
-    books = codebooks_from_sample(residuals, m, k, pq_iters)
     d_sub = books.shape[2]
 
     # the index keeps the base table's native id type so the probe's

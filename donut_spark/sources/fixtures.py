@@ -49,6 +49,7 @@ __all__ = [
     "build_spans_table",
     "build_multi_gt_metadata",
     "materialize_spans",
+    "materialize_ivfadc_codebooks",
     "load_spans",
 ]
 
@@ -443,6 +444,89 @@ def materialize_ivf_centroids(
     pq.write_table(table, path + ".tmp")
     os.replace(path + ".tmp", path)
     return path
+
+
+def materialize_ivfadc_codebooks(
+    spark: SparkSession | None = None,
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_centroids: int = 16,
+    m: int = 16,
+    k: int = 64,
+    out_root: str = FIXTURES_ROOT,
+) -> tuple[str, str]:
+    """Committed IVF-ADC parameter fixture — the frozen side of the
+    PRUNED-probe oracle (q54): two parquets,
+
+    * ``cents``: (cell int32, centroid array<double> RAW — the residual
+      subtrahend and the probe's cell-dot term — and centroid_n, its
+      unit-norm twin used for cell assignment / probe selection), and
+    * ``books``: (s int32, j int32, code array<double>) — the m×k PQ
+      codebook entries for the cell residuals.
+
+    Trained ONCE on the sf0.01 embeddings by the same
+    :func:`donut_spark.operators.ann_index.train_ivfadc` the index
+    writer uses, so given these constants, cell assignment (argmax
+    cosine, ties to the lowest cell), probe choice (top n_probe cells by
+    query dot, ties to the lowest cell), residual PQ encoding (per-
+    subspace L2 argmin, ties to the lowest j), the ADC score
+    (q·centroid[cell] + Σ_s q_sub·code) and the rerank window are all
+    deterministic arithmetic DuckDB replays from first principles —
+    no kernel output is ever captured. Drift vs the trainer is pinned by
+    tests/test_queries_oracle.py::test_ivfadc_fixture_matches_trainer.
+    Idempotent (keyed on file existence), atomic publish."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    stem = os.path.join(out_root, f"ivfadc_{name}_c{n_centroids}_m{m}_k{k}")
+    cents_path, books_path = stem + "_cents.parquet", stem + "_books.parquet"
+    if os.path.exists(cents_path) and os.path.exists(books_path):
+        return cents_path, books_path
+    if spark is None:
+        raise RuntimeError(
+            f"IVF-ADC fixture missing at {stem}_*.parquet and no "
+            "SparkSession given to train it"
+        )
+    import numpy as np
+
+    from ..operators.ann_index import train_ivfadc
+
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    centroids, books = train_ivfadc(df, n_centroids=n_centroids, m=m, k=k)
+    cn = centroids / np.clip(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12, None
+    )
+    cents_tbl = pa.table(
+        {
+            "cell": pa.array(range(len(centroids)), pa.int32()),
+            "centroid": pa.array(
+                [row.tolist() for row in centroids], pa.list_(pa.float64())
+            ),
+            "centroid_n": pa.array(
+                [row.tolist() for row in cn], pa.list_(pa.float64())
+            ),
+        }
+    )
+    mm, kk, _ = books.shape
+    books_tbl = pa.table(
+        {
+            "s": pa.array([s for s in range(mm) for _ in range(kk)], pa.int32()),
+            "j": pa.array([j for _ in range(mm) for j in range(kk)], pa.int32()),
+            "code": pa.array(
+                [books[s, j].tolist() for s in range(mm) for j in range(kk)],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    os.makedirs(out_root, exist_ok=True)
+    # atomic publish: an interrupted write must never leave a truncated
+    # parquet at the committed path (existence is the idempotency key)
+    for tbl, path in ((cents_tbl, cents_path), (books_tbl, books_path)):
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return cents_path, books_path
 
 
 def materialize_srp_planes(

@@ -61,6 +61,7 @@ def oracle_sqls(spark):
     from donut_spark.sources.fixtures import (
         materialize_fingerprints,
         materialize_ivf_centroids,
+        materialize_ivfadc_codebooks,
         materialize_spans,
         materialize_srp_planes,
     )
@@ -68,11 +69,20 @@ def oracle_sqls(spark):
     fx = materialize_spans(spark, SF_SMALL)
     fp = materialize_fingerprints(SF_SMALL)
     planes = materialize_srp_planes()
-    # the IVF codebook fixture is trained ONCE on sf0.01 and shared by
-    # every scale (it is the frozen-parameter side of q41, not data under
-    # test) — mirroring the driver oracle's committed path
+    # the IVF / IVF-ADC codebook fixtures are trained ONCE on sf0.01 and
+    # shared by every scale (they are the frozen-parameter side of
+    # q41/q54, not data under test) — mirroring the driver oracle's
+    # committed paths
     ivf = materialize_ivf_centroids(spark)
-    return entry_mod._oracle_sql_for(f"{fx}/*.parquet", fp=fp, planes=planes, ivf=ivf)
+    adc_cents, adc_books = materialize_ivfadc_codebooks(spark)
+    return entry_mod._oracle_sql_for(
+        f"{fx}/*.parquet",
+        fp=fp,
+        planes=planes,
+        ivf=ivf,
+        adc_cents=adc_cents,
+        adc_books=adc_books,
+    )
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
@@ -189,6 +199,49 @@ def test_ivf_centroid_fixture_matches_trainer(spark, tmp_path):
     for a, b in zip(committed["centroid"], fresh["centroid"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
         assert abs(np.linalg.norm(np.asarray(a)) - 1.0) < 1e-12  # unit-norm
+
+
+def test_ivfadc_fixture_matches_trainer(spark, tmp_path):
+    """The committed IVF-ADC codebook fixture must track the trainer and
+    the sf0.01 embeddings: a fresh training run into tmp must be
+    bit-identical for centroids, their unit-norm twins, AND every PQ
+    book entry (guards against editing train_ivfadc /
+    codebooks_from_sample, or regenerating the embeddings, without
+    re-materializing — which would silently detach the q54 pruned-probe
+    oracle from the Spark query's layout)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from donut_spark.sources.fixtures import materialize_ivfadc_codebooks
+
+    c_cents, c_books = materialize_ivfadc_codebooks(spark)
+    f_cents, f_books = materialize_ivfadc_codebooks(spark, out_root=str(tmp_path))
+    cc, fc = pq.read_table(c_cents).to_pydict(), pq.read_table(f_cents).to_pydict()
+    assert cc["cell"] == fc["cell"]
+    for a, b, an in zip(cc["centroid"], fc["centroid"], cc["centroid_n"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        # centroid_n really is the unit-norm twin of centroid
+        n = np.linalg.norm(np.asarray(a))
+        assert np.allclose(np.asarray(an) * n, np.asarray(a), atol=1e-12)
+    cb, fb = pq.read_table(c_books).to_pydict(), pq.read_table(f_books).to_pydict()
+    assert cb["s"] == fb["s"] and cb["j"] == fb["j"]
+    for a, b in zip(cb["code"], fb["code"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_queries_window_covers_intricate_rows():
+    """The driver's correctness gate executes (at most) the first 50
+    queries() entries — pin that every algorithmically intricate ANN /
+    contamination query sits INSIDE that window (the round-3 verdict's
+    top item: q51/q52/q53 spent two rounds outside it)."""
+    head = list(entry_mod.queries())[:50]
+    for name in (
+        "q51_ann_pq",
+        "q52_contamination",
+        "q53_ann_ivfadc",
+        "q54_ann_ivfadc_pruned",
+    ):
+        assert name in head, f"{name} fell outside the driver's 50-row window"
 
 
 def test_every_oracle_key_has_query():
