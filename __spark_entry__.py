@@ -1415,7 +1415,8 @@ def _oracle_sql_for(
         # independent reimplementation of the shingle/Jaccard pipeline
         "q43_jaccard_exact": """
             WITH words AS (
-              SELECT doc_id AS k, regexp_split_to_array(lower(text), '\\s+') AS w
+              SELECT doc_id AS k, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS w
               FROM documents WHERE doc_id < 120
             ), sh AS (
               SELECT k, unnest(list_distinct(list_filter(
@@ -1441,7 +1442,8 @@ def _oracle_sql_for(
         # q43_jaccard_exact) closed into components with a recursive CTE
         "q47_neardup_clusters": """
             WITH RECURSIVE words AS (
-              SELECT doc_id AS k, regexp_split_to_array(lower(text), '\\s+') AS w
+              SELECT doc_id AS k, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS w
               FROM documents WHERE doc_id < 120
             ), sh AS (
               SELECT k, unnest(list_distinct(list_filter(
@@ -1589,7 +1591,8 @@ def _oracle_sql_for(
             ), ids AS (
               SELECT a AS k FROM cand UNION SELECT b FROM cand
             ), words AS (
-              SELECT doc_id AS k, regexp_split_to_array(lower(text), '\\s+') AS w
+              SELECT doc_id AS k, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS w
               FROM documents JOIN ids ON doc_id = ids.k
             ), sh AS (
               SELECT k, unnest(list_distinct(list_filter(
@@ -1675,17 +1678,21 @@ def _oracle_sql_for(
                      vec_id
             LIMIT 20
         """,
-        # independent shingle semi-join reimplementation of the
-        # train/test contamination sweep (8-gram verbatim excerpts)
+        # independent shingle join reimplementation of the train/test
+        # contamination sweep (8-gram verbatim excerpts): the corpus
+        # side explodes NON-distinct — n_hits counts raw occurrences
+        # (repetition is leak evidence), n_distinct_hits the distinct
+        # overlapping shingles
         "q52_contamination": """
             WITH words AS (
-              SELECT doc_id AS k, regexp_split_to_array(lower(text), '\\s+') AS w
+              SELECT doc_id AS k, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS w
               FROM documents
             ), sh AS (
-              SELECT k, unnest(list_distinct(list_filter(
+              SELECT k, unnest(list_filter(
                   list_transform(generate_series(0, greatest(len(w) - 8, 0)),
                                  i -> array_to_string(w[i+1:i+8], ' ')),
-                  x -> x <> ''))) AS sh
+                  x -> x <> '')) AS sh
               FROM words
             ), bench AS (
               SELECT DISTINCT sh FROM sh WHERE k < 50

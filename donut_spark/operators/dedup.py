@@ -353,9 +353,16 @@ def connected_components(
     return labels.select(F.col("v"), F.col("cluster"))
 
 
-def _shingle_explode(df: DataFrame, text_col: str, key: str, n: int) -> DataFrame:
-    """(k, sh) rows: distinct word n-gram shingles per document, exploded
+def _shingle_explode(
+    df: DataFrame, text_col: str, key: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(k, sh) rows: word n-gram shingles per document, exploded
     JVM-side (regex split + transform + array_distinct — no Python).
+    ``distinct=False`` keeps repeated shingles (one row per OCCURRENCE)
+    — the contamination sweep's raw-hit count needs it; every similarity
+    caller wants the default set semantics. Empty-string shingles
+    (whitespace-only docs) are dropped in BOTH modes, matching the
+    streaming twin's degenerate-case behavior.
 
     The word array is projected ONCE below the Generate: writing
     ``split(lower(text))`` inside the transform lambda re-evaluates it
@@ -365,21 +372,24 @@ def _shingle_explode(df: DataFrame, text_col: str, key: str, n: int) -> DataFram
     re-split its full text 2,000 times. Catalyst keeps the non-cheap
     multi-referenced alias un-inlined; the plan shape is pinned by
     tests/test_dedup_similarity.py::test_shingle_plan_single_split."""
+    # leading/trailing whitespace makes split() emit empty boundary
+    # tokens; unfiltered they corrupt boundary shingles (concat_ws keeps
+    # empties, so "a b " shingles as "a b " ≠ "a b") and give a
+    # whitespace-ONLY doc a single-space shingle that would collide with
+    # every other whitespace-only doc. Words are what shingle: drop ''.
     words = df.select(
         F.col(key).alias("k"),
-        F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("_w"),
     )
-    return words.select(
-        "k",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(0, greatest(size(_w) - {n}, 0)), "
-                    f"i -> concat_ws(' ', slice(_w, i + 1, {n})))"
-                )
-            )
-        ).alias("sh"),
-    ).filter(F.col("sh") != "")
+    arr = F.expr(
+        f"transform(sequence(0, greatest(size(_w) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(_w, i + 1, {n})))"
+    )
+    if distinct:
+        arr = F.array_distinct(arr)
+    return words.select("k", F.explode(arr).alias("sh")).filter(F.col("sh") != "")
 
 
 def ngram_jaccard_pairs(
@@ -496,10 +506,12 @@ def benchmark_shingle_set(
     IDENTICAL to :func:`_shingle_explode` (computed by it), so the
     streaming filter built on this set flags exactly the rows the batch
     :func:`contamination_overlap` would."""
-    # the key column is projected away before distinct — any existing
-    # column works; text_col exists by definition
+    # the key column is projected away before distinct — a constant
+    # stands in so no real key column is required of the benchmark
     rows = (
-        _shingle_explode(benchmark, text_col, text_col, n)
+        _shingle_explode(
+            benchmark.select(F.lit(0).alias("_k"), text_col), text_col, "_k", n
+        )
         .select("sh")
         .distinct()
         .collect()
@@ -524,9 +536,13 @@ def contamination_overlap(
     the corpus, so its DISTINCT shingle set is broadcast and the corpus
     shingles stream through a broadcast hash join — the 10^12-doc scan
     never shuffles. Returns (doc_id, n_hits, n_distinct_hits) for
-    corpus docs with at least ``min_hits`` overlapping shingles.
+    corpus docs with at least ``min_hits`` overlapping shingle
+    OCCURRENCES: ``n_hits`` counts every corpus-side occurrence (a doc
+    quoting the same benchmark sentence three times reports 3 —
+    repetition is leak evidence), ``n_distinct_hits`` the distinct
+    overlapping shingles.
     """
-    c_sh = _shingle_explode(corpus, text_col, key, n)
+    c_sh = _shingle_explode(corpus, text_col, key, n, distinct=False)
     b_sh = _shingle_explode(benchmark, text_col, key, n).select("sh").distinct()
     return (
         c_sh.join(F.broadcast(b_sh), "sh")

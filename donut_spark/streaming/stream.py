@@ -198,15 +198,19 @@ def streaming_contamination(
             # python twin of dedup._shingle_explode's JVM expression:
             # split(lower, \s+), i in 0..max(len-n, 0), join by ' ',
             # distinct, drop '' — with the JAVA (ASCII) \s class
-            words = java_ws.split((t or "").lower())
+            # empty boundary tokens are dropped pre-shingle, matching
+            # the batch kernel's filter(_w, x -> x != '')
+            words = [w for w in java_ws.split((t or "").lower()) if w]
             top = max(len(words) - n, 0)
             all_sh = [" ".join(words[i : i + n]) for i in range(top + 1)]
-            distinct = {s for s in all_sh if s}
-            matched = distinct & bench
-            # n_hits counts distinct-shingle occurrences like the batch
-            # groupBy over the distinct-exploded frame (one row per
-            # distinct shingle per doc), so the two twins agree exactly
-            out.append((len(matched), len(matched)))
+            # n_hits counts raw OCCURRENCES (the batch twin explodes the
+            # corpus side non-distinct — repetition is leak evidence);
+            # n_distinct_hits the distinct overlapping shingles. Both
+            # drop '' (whitespace-only docs), matching the batch side's
+            # sh != '' filter on the degenerate case.
+            raw_hits = sum(1 for s in all_sh if s and s in bench)
+            matched = {s for s in all_sh if s} & bench
+            out.append((raw_hits, len(matched)))
         return pd.DataFrame(out, columns=["n_hits", "n_distinct_hits"])
 
     return docs.withColumn("_c", hits(F.col(text_col))).select(

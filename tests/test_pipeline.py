@@ -826,11 +826,17 @@ def test_streaming_contamination_matches_batch_twin(spark, tmp_path):
         (101, "completely unrelated text with many different words in it"),
         (102, f"{leak}"),  # verbatim benchmark doc
         (103, f"intro {nbsp_leak} outro"),  # nbsp leak
+        # the same benchmark sentence quoted TWICE: n_hits counts raw
+        # occurrences (repetition is leak evidence) so it must exceed
+        # n_distinct_hits here — the two-column API's reason to exist
+        (104, f"first quote {leak} then later again {leak} end"),
+        (105, " \t\n  "),  # whitespace-only: no shingles, never flagged
     ]
     bench_rows = [
         (1, leak),
         (2, "another held out evaluation document text"),
         (3, nbsp_leak),
+        (4, "   "),  # degenerate whitespace-only benchmark doc
     ]
     corpus = spark.createDataFrame(rows, ["doc_id", "text"])
     bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
@@ -839,7 +845,11 @@ def test_streaming_contamination_matches_batch_twin(spark, tmp_path):
         r.doc_id: (r.n_hits, r.n_distinct_hits)
         for r in contamination_overlap(corpus, bench, n=8).collect()
     }
-    assert {100, 102, 103} <= set(expected) and 101 not in expected
+    assert {100, 102, 103, 104} <= set(expected)
+    assert 101 not in expected and 105 not in expected
+    # doc 104 holds 2 occurrences of each leaked shingle but the same
+    # distinct set as a single quote
+    assert expected[104][0] == 2 * expected[104][1] > 0
 
     shingles = benchmark_shingle_set(bench, n=8)
     assert shingles.n == 8  # the set carries its n-gram size
