@@ -134,9 +134,21 @@ def encode_png(
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, bytes]:
+MAX_DECODE_PIXELS = 64 * 1024 * 1024  # 64 MP ⇒ ≤ ~192 MB RGB — poison-row bound
+
+
+def decode_png(data: bytes, max_pixels: int = MAX_DECODE_PIXELS) -> tuple[int, int, bytes]:
     """PNG file bytes → (width, height, RGB8 bytes). CRCs are verified;
-    non-truecolor / interlaced / 16-bit inputs raise."""
+    non-truecolor / interlaced / 16-bit inputs raise.
+
+    Decompression-bomb-guarded: a hostile PNG can declare huge IHDR dims
+    and pack a tiny, highly compressible IDAT, so (a) width·height is
+    bounded by ``max_pixels`` BEFORE any decompression, and (b) inflate
+    runs through ``decompressobj`` with output capped at the expected
+    scanline size — an executor never allocates more than the declared
+    (bounded) image, and oversize/overflowing inputs raise ValueError so
+    the multimodal operators' poison-row contract (catch ValueError /
+    NotImplementedError → stub path, never die) holds."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, width, height, idat = 8, None, None, bytearray()
@@ -165,6 +177,11 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
                     "only 8-bit truecolor non-interlaced PNG is supported "
                     f"(got depth={depth} colortype={ctype} interlace={interlace})"
                 )
+            if width == 0 or height == 0 or width * height > max_pixels:
+                raise ValueError(
+                    f"PNG dimensions {width}x{height} outside decode bound "
+                    f"(max {max_pixels} pixels)"
+                )
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -172,12 +189,17 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
+    stride = width * _BPP
+    expected = (stride + 1) * height
     try:
-        raw = zlib.decompress(bytes(idat))
+        # cap inflate output at the declared scanline size (+1 so an
+        # oversize stream is distinguishable from an exact fit): a bomb
+        # IDAT stops at the bound instead of materializing
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    stride = width * _BPP
-    if len(raw) != (stride + 1) * height:
+    if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("PNG scanline data has wrong length")
     out = bytearray(stride * height)
     prev = bytes(stride)

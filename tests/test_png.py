@@ -109,3 +109,47 @@ def test_resize_nearest_semantics():
         for x in range(6):
             src = rgb[((y // 2) * 3 + (x // 2)) * 3 : ((y // 2) * 3 + (x // 2)) * 3 + 3]
             assert up[(y * 6 + x) * 3 : (y * 6 + x) * 3 + 3] == src
+
+
+def test_decoder_rejects_decompression_bomb():
+    """A hostile PNG declaring huge IHDR dims with a tiny, highly
+    compressible IDAT must raise ValueError BEFORE materializing the
+    declared image (the poison-row contract: multimodal operators catch
+    ValueError and take the stub path; an OOM would kill the executor)."""
+    import struct
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    # 1 GP declared (3 GB RGB), IDAT only a few KB of zeros
+    ihdr = struct.pack(">IIBBBBB", 32768, 32768, 8, 2, 0, 0, 0)
+    bomb = sig + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(bytes(1 << 16))
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_png(bomb)
+
+    # dims within a small max_pixels bound but IDAT inflating far past
+    # the declared scanline size: the capped inflate must raise, not
+    # materialize the stream
+    ihdr2 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    over = sig + chunk(b"IHDR", ihdr2) + chunk(
+        b"IDAT", zlib.compress(bytes(10_000_000))
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="wrong length"):
+        decode_png(over)
+
+    # zero-dimension IHDR is rejected too
+    ihdr3 = struct.pack(">IIBBBBB", 0, 4, 8, 2, 0, 0, 0)
+    zero = sig + chunk(b"IHDR", ihdr3) + chunk(
+        b"IDAT", zlib.compress(b"")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_png(zero)
