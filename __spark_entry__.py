@@ -539,9 +539,13 @@ def q29_multimodal(spark, sf):
     decoded dimensions and pixel checksum from the generation
     arithmetic (dims/pixels are closed-form in the ref number; no PNG
     code on the SQL side) — any encoder/decoder bug breaks equality.
-    jpeg/webm rows (no codec in this container) keep the pipeline
-    invariants: distinct-ref set, feature dimensionality, metadata
-    bounds."""
+    jpeg rows are HEADER-verified: the synth writes a real JFIF/SOF0
+    stream (core/jpeg.py), the featurizer parses width/height back out
+    of the marker bytes, and the oracle recomputes the dims from the
+    same ref-number arithmetic — so jpg_w/jpg_h check the encode→parse
+    loop end-to-end (pixels stay stubbed: no entropy decoder in this
+    container). meta_ok additionally pins parsed == claimed for
+    png+jpeg and metadata bounds for webm."""
     from donut_spark.operators.multimodal import (
         decode_and_featurize,
         synth_media_table,
@@ -551,14 +555,28 @@ def q29_multimodal(spark, sf):
     spans = load_spans(spark, sf).filter(F.col("doc_id").cast("long") < 100)
     media = synth_media_table(spark, spans)
     feats = decode_and_featurize(media)
-    png = F.col("pix_sum").isNotNull()
-    return feats.select(
+    meta_dim = media.select(
+        "media_ref",
+        F.col("meta.format").alias("fmt"),
+        F.col("meta.width").alias("mw"),
+        F.col("meta.height").alias("mh"),
+    )
+    png, jpg = F.col("fmt") == "png", F.col("fmt") == "jpeg"
+    return feats.join(F.broadcast(meta_dim), "media_ref").select(
         "media_ref",
         F.size("features").alias("feat_dim"),
         F.when(png, F.col("width")).alias("png_w"),
         F.when(png, F.col("height")).alias("png_h"),
         "pix_sum",
-        F.when(png, F.lit(1))
+        F.when(jpg, F.col("width")).alias("jpg_w"),
+        F.when(jpg, F.col("height")).alias("jpg_h"),
+        F.when(
+            png | jpg,
+            (
+                (F.col("width") == F.col("mw"))
+                & (F.col("height") == F.col("mh"))
+            ).cast("int"),
+        )
         .otherwise(
             (
                 F.col("width").between(64, 575)
@@ -1512,7 +1530,13 @@ def _oracle_sql_for(
                      CASE WHEN num % 3 = 1
                           THEN CAST(8 + (num * 7) % 24 AS INT) END AS png_w,
                      CASE WHEN num % 3 = 1
-                          THEN CAST(8 + (num * 13) % 24 AS INT) END AS png_h
+                          THEN CAST(8 + (num * 13) % 24 AS INT) END AS png_h,
+                     -- jpeg SOF dims (num % 3 = 0): the featurizer
+                     -- parses these back out of the real JFIF header
+                     CASE WHEN num % 3 = 0
+                          THEN CAST(64 + (num * 11) % 512 AS INT) END AS jpg_w,
+                     CASE WHEN num % 3 = 0
+                          THEN CAST(64 + (num * 17) % 512 AS INT) END AS jpg_h
               FROM (SELECT media_ref,
                            CAST(split_part(media_ref, '_', 2) AS BIGINT) * 1000
                              + CAST(split_part(media_ref, '_', 3) AS BIGINT)
@@ -1534,7 +1558,7 @@ def _oracle_sql_for(
             )
             SELECT dims.media_ref,
                    CAST(8 AS INT) AS feat_dim,
-                   png_w, png_h, pix.pix_sum,
+                   png_w, png_h, pix.pix_sum, jpg_w, jpg_h,
                    CAST(1 AS INT) AS meta_ok
             FROM dims LEFT JOIN pix ON dims.media_ref = pix.media_ref
         """,

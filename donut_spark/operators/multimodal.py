@@ -106,6 +106,12 @@ def _png_dims(num: int) -> tuple[int, int]:
     return 8 + (num * 7) % 24, 8 + (num * 13) % 24
 
 
+def _jpeg_dims_for(num: int) -> tuple[int, int]:
+    """Claimed-and-encoded jpeg dims — closed-form in the ref number so
+    the q29 oracle recomputes them without any JPEG code."""
+    return 64 + (num * 11) % 512, 64 + (num * 17) % 512
+
+
 def _png_pixels(num: int, width: int, height: int) -> bytes:
     """pixel(x, y, c) = (7x + 13y + 29c + num) mod 256 — closed-form
     arithmetic both the Spark synth and the SQL oracle evaluate."""
@@ -124,10 +130,14 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     PNG-format rows (``num % 3 == 1``) carry REAL truecolor PNG bytes
     (``core/png.py``) of small seed-derived dimensions, with metadata
     matching the true encoded dims — so downstream decode is a real
-    codec exercise. jpeg/webm rows keep seeded pseudo-payloads with
-    hash-derived claimed metadata (no codec for them in this container).
-    Everything is derived from the ref string — stable across runs,
-    partitionings, and cluster sizes.
+    codec exercise. jpeg rows (``num % 3 == 0``) carry a REAL JFIF
+    header stream (``core/jpeg.py`` — SOI/APP0/COM/SOF0/EOI) whose SOF
+    dims equal the claimed metadata, so the featurizer's header parse
+    verifies meta against bytes; only the pixel payload stays stubbed
+    (no entropy decoder in this container). webm rows keep seeded
+    pseudo-payloads with hash-derived claimed metadata. Everything is
+    derived from the ref string — stable across runs, partitionings,
+    and cluster sizes.
     """
     refs = (
         spans_df.select(F.explode("spans").alias("s"))
@@ -139,6 +149,7 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from ..core.jpeg import encode_jpeg_header
         from ..core.png import encode_png
 
         for pdf in batches:
@@ -151,13 +162,22 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                     w, h = _png_dims(num)
                     content = encode_png(_png_pixels(num, w, h), w, h)
                     meta = {"format": fmt, "width": w, "height": h, "n_frames": 1}
+                elif fmt == "jpeg":
+                    # dims from ref-number arithmetic (not crc) so the
+                    # SQL oracle recomputes them first-principles, like
+                    # the PNG dims
+                    w, h = _jpeg_dims_for(num)
+                    content = encode_jpeg_header(
+                        w, h, comment=(seed.to_bytes(4, "big") * 16)[:64]
+                    )
+                    meta = {"format": fmt, "width": w, "height": h, "n_frames": 1}
                 else:
                     content = (seed.to_bytes(4, "big") * 16)[:64]
                     meta = {
                         "format": fmt,
                         "width": 64 + seed % 512,
                         "height": 64 + (seed >> 8) % 512,
-                        "n_frames": 1 if fmt == "jpeg" else 1 + seed % 120,
+                        "n_frames": 1 + seed % 120,
                     }
                 rows.append((ref, content, meta))
             yield pd.DataFrame(rows, columns=["media_ref", "content", "meta"])
@@ -172,10 +192,13 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
     from the parsed IHDR, ``pix_sum`` is the sum of decoded RGB bytes
     (the oracle-checkable pixel checksum), and features are per-band
     grayscale means over the actual pixels (``feat_dim`` horizontal
-    bands, /255). jpeg/webm rows keep the deterministic fake (crc chain
-    over bytes, metadata dims, ``pix_sum`` null) — a real JPEG/video
-    codec (PIL/ffmpeg) is absent in this container; the Arrow batch
-    plumbing is exactly what it would plug into.
+    bands, /255). jpeg rows parse the REAL SOF frame header
+    (``core/jpeg.py``) — width/height come from the marker stream, not
+    the metadata, so a mislabeled row is caught; only the pixel decode
+    stays stubbed (crc-chain features, ``pix_sum`` null — no entropy
+    decoder in this container). webm rows keep the full deterministic
+    fake; the Arrow batch plumbing is exactly what a real codec would
+    plug into.
     """
     use_real = _have_pillow()
 
@@ -183,6 +206,7 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from ..core.jpeg import JPEG_SOI, jpeg_dims
         from ..core.png import PNG_SIGNATURE, decode_png
 
         for pdf in batches:
@@ -213,6 +237,16 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
                     ]
                     rows.append((ref, w, h, feats, int(arr.sum())))
                     continue
+                # JPEG: real header parse (SOF dims from the marker
+                # stream — verifies claimed meta against bytes); pixels
+                # stay stubbed. A malformed/truncated stream falls
+                # through to the meta-dims stub path, never crashes.
+                jdims = None
+                if bytes(content).startswith(JPEG_SOI):
+                    try:
+                        jdims = jpeg_dims(bytes(content))
+                    except ValueError:
+                        jdims = None
                 if use_real:  # pragma: no cover - container has no PIL
                     raise NotImplementedError(
                         "real jpeg/video decode: plug PIL.Image.open / "
@@ -223,7 +257,8 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
                 for i in range(feat_dim):
                     hsh = zlib.crc32(i.to_bytes(2, "big"), hsh)
                     feats.append((hsh % 10_000) / 10_000.0)
-                rows.append((ref, meta["width"], meta["height"], feats, None))
+                w, h = jdims if jdims is not None else (meta["width"], meta["height"])
+                rows.append((ref, w, h, feats, None))
             yield pd.DataFrame(
                 rows,
                 columns=["media_ref", "width", "height", "features", "pix_sum"],
