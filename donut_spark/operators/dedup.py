@@ -303,7 +303,24 @@ def connected_components(
     10^9+ rows. Labels are the MIN vertex id per component, giving the
     deterministic 'keeper' election for dedup
     (compose: exact_dedup → minhash_lsh_pairs → ngram_jaccard_pairs →
-    connected_components → keep rows where v == cluster)."""
+    connected_components → keep rows where v == cluster).
+
+    Checkpoint-block hygiene: each round's ``localCheckpoint`` blocks
+    are unpersisted as soon as the NEXT round has materialized (a
+    long-lived session would otherwise hold every round's labels until
+    context-cleaner GC); the FINAL round's blocks back the returned
+    frame, so they ride out as a ``CheckpointBlocksHandle`` — call
+    ``plans.cache.release_persisted(result)`` strictly AFTER writing/
+    collecting the result (checkpointed plans have no lineage; early
+    release errors instead of recomputing)."""
+    from ..plans.cache import (
+        CheckpointBlocksHandle,
+        attach_persisted,
+        persistent_rdd_ids,
+    )
+
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt_ids: set = set()
     edges = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
     sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
     labels = sym.select(F.col("s").alias("v")).distinct().withColumn(
@@ -323,6 +340,7 @@ def connected_components(
             .join(labels.alias("y"), F.col("x.cluster") == F.col("y.v"))
             .select(F.col("x.v").alias("v"), F.col("y.cluster").alias("cluster"))
         )
+        pre_ids = persistent_rdd_ids(sc)
         new_labels = (
             nbr.union(labels)
             .union(jump)
@@ -330,6 +348,7 @@ def connected_components(
             .agg(F.min("cluster").alias("cluster"))
             .localCheckpoint(eager=True)
         )
+        ckpt_ids = persistent_rdd_ids(sc) - pre_ids
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("cluster", "_old"), "v"
@@ -337,6 +356,12 @@ def connected_components(
             .filter(F.col("cluster") != F.col("_old"))
             .count()
         )
+        # the previous round's checkpoint blocks are consumed by both
+        # the eager materialization above and the changed-count — free
+        # them now instead of waiting for context-cleaner GC
+        if prev_ckpt_ids:
+            CheckpointBlocksHandle(sc, prev_ckpt_ids).unpersist()
+        prev_ckpt_ids = ckpt_ids
         labels = new_labels
         if changed == 0:
             break
@@ -350,7 +375,12 @@ def connected_components(
             f"iterations ({changed} labels still changing) — raise "
             "max_iter (component diameter exceeds it)"
         )
-    return labels.select(F.col("v"), F.col("cluster"))
+    result = labels.select(F.col("v"), F.col("cluster"))
+    if prev_ckpt_ids:
+        result = attach_persisted(
+            result, [CheckpointBlocksHandle(sc, prev_ckpt_ids)]
+        )
+    return result
 
 
 def _shingle_explode(

@@ -54,6 +54,7 @@ def main() -> None:
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
+    from donut_spark.plans.cache import persistent_rdd_ids, release_persisted
     from donut_spark.sources.session import ENGINE_CONF
 
     builder = SparkSession.builder.appName("donut_spark_dedup")
@@ -96,11 +97,20 @@ def main() -> None:
         candidates=cands,
     )
     pairs.write.mode("overwrite").parquet(f"{out}/pairs")
+    # the banded signature frame minhash_lsh_pairs persisted has now
+    # been fully consumed (pairs are on disk) — release it, or a
+    # long-lived session accumulates one cached frame per stage (the
+    # handle rides on `cands`, the operator's RETURN object; see
+    # plans/cache.py hand-off discipline)
+    release_persisted(cands)
     pairs = spark.read.parquet(f"{out}/pairs")
 
     # 4. transitive closure → keeper election (min key per component)
     clusters = connected_components(pairs)
     clusters.write.mode("overwrite").parquet(f"{out}/clusters")
+    # ditto for the final CC round's localCheckpoint blocks (release
+    # strictly AFTER the write — checkpointed plans can't recompute)
+    release_persisted(clusters)
     clusters = spark.read.parquet(f"{out}/clusters")
 
     drop = clusters.filter(F.col("v") != F.col("cluster")).select(
@@ -112,9 +122,13 @@ def main() -> None:
     n_in = docs.count()
     n_out = spark.read.parquet(f"{out}/deduped").count()
     n_hot = spark.read.parquet(f"{out}/audit/hot_buckets").count()
+    # leak audit: every stage released its cached/checkpointed blocks —
+    # a long-lived session running this job repeatedly stays flat
+    n_leaked = len(persistent_rdd_ids(spark.sparkContext))
     print(
         f"dedup: {n_in} -> {n_out} rows "
-        f"({n_in - n_out} removed); hot buckets dropped by cap: {n_hot}"
+        f"({n_in - n_out} removed); hot buckets dropped by cap: {n_hot}; "
+        f"residual cached rdds: {n_leaked}"
     )
 
 

@@ -111,6 +111,10 @@ def test_spark_submit_dedup_pipeline(spark, tmp_path):
         timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
+    # cache hygiene: every stage released its persisted/checkpointed
+    # blocks (banded LSH frame, CC localCheckpoints) — a long-lived
+    # session running this job repeatedly must stay flat
+    assert "residual cached rdds: 0" in proc.stdout, proc.stdout[-2000:]
 
     deduped = {r.doc_id for r in spark.read.parquet(f"{out_dir}/deduped").collect()}
     # d2 removed as exact dup of d1; d3 removed as near-dup (keeper d1)
