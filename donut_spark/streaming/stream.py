@@ -26,7 +26,27 @@ __all__ = [
     "sessionize",
     "streaming_exact_dedup",
     "streaming_contamination",
+    "java_ws_shingles",
 ]
+
+import re as _re
+
+# Java's \s is ASCII-only ([ \t\n\x0B\f\r]); Python's is Unicode-aware
+# (NBSP, U+2028/29, U+3000, ...). Every Python twin of a JVM
+# split(\s+) MUST use this class or web text containing exotic
+# whitespace tokenizes differently and twin parity silently breaks.
+_JAVA_WS = _re.compile("[ \\t\\n\\x0b\\f\\r]+")
+
+
+def java_ws_shingles(text: str | None, n: int) -> list:
+    """Python twin of ``dedup._shingle_explode``'s JVM expression with
+    ``distinct=False``: lowercase → split on the JAVA whitespace class →
+    drop empty boundary tokens → word ``n``-grams joined by ' ' (one
+    entry per OCCURRENCE; empty shingles dropped). Module-level so the
+    unicode-whitespace parity fuzz exercises the exact deployed code."""
+    words = [w for w in _JAVA_WS.split((text or "").lower()) if w]
+    top = max(len(words) - n, 0)
+    return [s for s in (" ".join(words[i : i + n]) for i in range(top + 1)) if s]
 
 
 def stream_extract_from_files(
@@ -170,19 +190,11 @@ def streaming_contamination(
     side never shuffles). Adds ``n_hits``/``n_distinct_hits`` columns;
     filter downstream (``n_hits >= 1``) to quarantine leaks at ingest.
     """
-    import re as _re
-
     from pyspark.sql import functions as F
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     n = benchmark_shingles.n
     bench = benchmark_shingles.shingles  # closure-broadcast
-    # Java's \s is ASCII-only; Python's is Unicode-aware. The batch twin
-    # splits with the JVM regex, so a doc containing U+00A0 (non-breaking
-    # space — ubiquitous in scraped web text) must tokenize identically
-    # here or a verbatim leak slips the ingest filter the batch sweep
-    # would flag.
-    java_ws = _re.compile("[ \\t\\n\\x0b\\f\\r]+")
 
     hit_schema = StructType(
         [
@@ -195,21 +207,15 @@ def streaming_contamination(
     def hits(text: pd.Series) -> pd.DataFrame:
         out = []
         for t in text:
-            # python twin of dedup._shingle_explode's JVM expression:
-            # split(lower, \s+), i in 0..max(len-n, 0), join by ' ',
-            # distinct, drop '' — with the JAVA (ASCII) \s class
-            # empty boundary tokens are dropped pre-shingle, matching
-            # the batch kernel's filter(_w, x -> x != '')
-            words = [w for w in java_ws.split((t or "").lower()) if w]
-            top = max(len(words) - n, 0)
-            all_sh = [" ".join(words[i : i + n]) for i in range(top + 1)]
-            # n_hits counts raw OCCURRENCES (the batch twin explodes the
-            # corpus side non-distinct — repetition is leak evidence);
-            # n_distinct_hits the distinct overlapping shingles. Both
-            # drop '' (whitespace-only docs), matching the batch side's
-            # sh != '' filter on the degenerate case.
-            raw_hits = sum(1 for s in all_sh if s and s in bench)
-            matched = {s for s in all_sh if s} & bench
+            # java_ws_shingles is the module-level python twin of
+            # dedup._shingle_explode (JAVA whitespace class, empty
+            # tokens/shingles dropped). n_hits counts raw OCCURRENCES
+            # (the batch twin explodes the corpus side non-distinct —
+            # repetition is leak evidence); n_distinct_hits the
+            # distinct overlapping shingles.
+            raw = java_ws_shingles(t, n)
+            raw_hits = sum(1 for s in raw if s in bench)
+            matched = set(raw) & bench
             out.append((raw_hits, len(matched)))
         return pd.DataFrame(out, columns=["n_hits", "n_distinct_hits"])
 
