@@ -36,7 +36,44 @@ HEADLINE = [
     "q51_ann_pq",
     "q52_contamination",
     "q53_ann_ivfadc",
+    "q54_ann_ivfadc_pruned",
 ]
+
+# persisted-index queries: after the battery (index built + cached on
+# disk) one more invocation times the PROBE ALONE — the repeated-query
+# regime the index layouts exist for
+PROBE_ONLY = ["q50_ann_index_probe", "q53_ann_ivfadc", "q54_ann_ivfadc_pruned"]
+
+
+def calibrate() -> dict:
+    """Fixed-size microbenches that pin the HOST's health at bench time
+    (this VM shows sustained multi-x degradation phases — documented in
+    BENCH/BASELINE.md): float matmul (BLAS), crc32 (memory bandwidth),
+    python loop (interpreter). Healthy references measured in a clean
+    window; a 3x+ excess on matmul means the surrounding numbers carry
+    host noise, and scale-up RATIOS from the same window are the only
+    trustworthy comparison."""
+    import zlib
+
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((2000, 2000))
+    t0 = time.perf_counter()
+    (a @ a).sum()
+    matmul_s = time.perf_counter() - t0
+    data = b"\xa5" * (64 << 20)
+    t0 = time.perf_counter()
+    zlib.crc32(data)
+    crc_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sum(i * i for i in range(2_000_000))
+    loop_s = time.perf_counter() - t0
+    return {
+        "matmul2000_s": round(matmul_s, 3),
+        "crc32_64mb_s": round(crc_s, 3),
+        "pyloop_2m_s": round(loop_s, 3),
+        "healthy_ref": {"matmul2000_s": 0.2, "crc32_64mb_s": 0.06, "pyloop_2m_s": 0.12},
+    }
 
 
 def main() -> None:
@@ -49,6 +86,8 @@ def main() -> None:
 
     spark = get_spark(cores=cpus, app_name="donut_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    cal_before = calibrate()
 
     # warm the JVM + parquet footers once
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -95,6 +134,14 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         results[name] = round(best, 3)
 
+    # warm-index probe-only latency (indexes were built during the
+    # battery and are keyed-cached on disk, so these invocations run
+    # the pruned-partition probe path alone — the repeated-query regime)
+    for name in PROBE_ONLY:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        results[f"{name}_probe_only"] = round(time.perf_counter() - t0, 3)
+
     # attach the recorded N→4N scaling evidence (BASELINE.json north rule;
     # regenerated by bench_scaling.py) so every bench snapshot carries it
     scaling = None
@@ -111,7 +158,8 @@ def main() -> None:
             "scaling_efficiency": s["scaling_efficiency"],
         }
 
-    total = sum(results.values())
+    cal_after = calibrate()
+    total = sum(results[k] for k in results if not k.endswith("_probe_only"))
     print(
         json.dumps(
             {
@@ -126,6 +174,7 @@ def main() -> None:
                 "exact_match_rate": float(agg["em"]),
                 "roundtrip_rate": float(agg["rt"]),
                 "scaling": scaling,
+                "calibration": {"before": cal_before, "after": cal_after},
             }
         )
     )

@@ -39,7 +39,9 @@ def decluster(df: DataFrame, key: str = "doc_id", num_partitions: int | None = N
     return df.repartition(num_partitions, F.col(key))
 
 
-def maybe_decluster(df: DataFrame, key: str = "doc_id") -> DataFrame:
+def maybe_decluster(
+    df: DataFrame, key: str = "doc_id", source_partitions: int | None = None
+) -> DataFrame:
     """Decluster ONLY when the source yields fewer partitions than the
     cluster's parallelism.
 
@@ -49,9 +51,17 @@ def maybe_decluster(df: DataFrame, key: str = "doc_id") -> DataFrame:
     yields thousands of splits, the condition is false, and NO exchange
     is added — repartitioning 100 TB of raw text to fix a problem it
     doesn't have would be the real bug.
+
+    Pass ``source_partitions`` when the caller already knows the scan
+    width (file count, parquet footer row groups): the fallback probe
+    ``df.rdd.getNumPartitions()`` runs no job but DOES materialize the
+    physical plan driver-side on every invocation — cheap for a scan
+    projection, not free on a wide composed plan.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if source_partitions is None:
+        source_partitions = df.rdd.getNumPartitions()
+    if source_partitions >= target:
         return df
     return df.repartition(target * 2, F.col(key))
 
