@@ -72,7 +72,11 @@ def calibrate() -> dict:
         "matmul2000_s": round(matmul_s, 3),
         "crc32_64mb_s": round(crc_s, 3),
         "pyloop_2m_s": round(loop_s, 3),
-        "healthy_ref": {"matmul2000_s": 0.2, "crc32_64mb_s": 0.06, "pyloop_2m_s": 0.12},
+        # measured on this host in an idle window (round 4): matmul
+        # (threaded BLAS) jitters 0.4-1.1s even idle — treat >3s as
+        # degraded; crc32/pyloop are tight (±20%) and are the reliable
+        # health signals
+        "healthy_ref": {"matmul2000_s": 0.5, "crc32_64mb_s": 0.03, "pyloop_2m_s": 0.14},
     }
 
 

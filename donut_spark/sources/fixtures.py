@@ -307,6 +307,15 @@ def materialize_spans(
     read: the Spark queries scan it like any table, and the DuckDB
     oracles `read_parquet` the same files — so the comparison can never
     drift even if the generator code changes between runs.
+
+    File count is FIXED at 32 (deterministic hash layout, independent
+    of the writing session's core count): map-only UDF pipelines take
+    their parallelism from scan splits — no exchange — so the fixture
+    must carry at least as many splits as the widest bench session
+    (local[32]); the old 4-file layout pinned the flagship to 4 of 32
+    cores. At corpus scale the same sizing rule is files ≈
+    maxPartitionBytes-sized chunks ≫ cores, so the condition holds for
+    free there.
     """
     import os
 
@@ -315,7 +324,7 @@ def materialize_spans(
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     df = build_spans_table(spark, sf_dir, with_expected_json=True)
-    df.repartition(4, "doc_id").write.mode("overwrite").parquet(path)
+    df.repartition(32, "doc_id").write.mode("overwrite").parquet(path)
     return path
 
 
