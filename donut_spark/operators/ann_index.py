@@ -89,7 +89,19 @@ def _read_meta(spark, path: str) -> dict:
 # single shared definitions with the online operators (similarity.py) so
 # the probe tie-break and NaN-guard disciplines can't drift between the
 # persisted-index and online paths
-from .similarity import _stable_probe_cells, _unit_rows  # noqa: E402
+from .similarity import (  # noqa: E402
+    _stable_probe_cells,
+    _unit_rows,
+    adaptive_probe_cells,
+)
+
+
+def _probe_cells(cn, qn, n_probe, multiprobe_margin):
+    """Shared probe-choice dispatch: fixed oracle-pinned discipline, or
+    adaptive multi-probe widening for OOD queries when a margin is set."""
+    if multiprobe_margin is None:
+        return _stable_probe_cells(cn, qn, n_probe)
+    return adaptive_probe_cells(cn, qn, n_probe, multiprobe_margin)
 
 
 def write_srp_index(
@@ -321,8 +333,12 @@ def probe_ivfadc_index(
     rerank: int = 100,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    multiprobe_margin: float | None = None,
 ) -> DataFrame:
     """Top-k probe against a :func:`write_ivfadc_index` layout.
+    ``multiprobe_margin`` enables adaptive probe widening for OOD
+    queries (:func:`similarity.adaptive_probe_cells`); ``None`` keeps
+    the fixed, oracle-pinned discipline.
 
     The scan reads ONLY the probed cell directories (partition pruning
     on ``_cell``). Scoring is pure JVM: q·x ≈ q·centroid(cell) +
@@ -342,7 +358,7 @@ def probe_ivfadc_index(
     cn = _unit_rows(centroids)
     q = np.asarray(query_vec, dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probe_cells = _stable_probe_cells(cn, qn, n_probe)
+    probe_cells = _probe_cells(cn, qn, n_probe, multiprobe_margin)
 
     cells = spark.read.parquet(os.path.join(path, "cells")).filter(
         F.col("_cell").isin(probe_cells)
@@ -378,19 +394,21 @@ def probe_ivf_index(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    multiprobe_margin: float | None = None,
 ) -> DataFrame:
     """Top-k probe against a :func:`write_ivf_index` layout: pick the
     ``n_probe`` nearest cells from the sidecar codebook driver-side,
     scan ONLY those cell directories (partition pruning on ``_cell``),
     exact-rerank. Identical to :func:`ivf_topk` with the same codebook
-    parameters."""
+    parameters. ``multiprobe_margin`` enables adaptive OOD widening
+    (:func:`similarity.adaptive_probe_cells`)."""
     from .similarity import cosine_topk
 
     centroids = np.asarray(_read_meta(spark, path)["centroids"], dtype="float64")
     cn = _unit_rows(centroids)
     q = np.asarray(query_vec, dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probe_cells = _stable_probe_cells(cn, qn, n_probe)
+    probe_cells = _probe_cells(cn, qn, n_probe, multiprobe_margin)
 
     cells = spark.read.parquet(os.path.join(path, "cells"))
     candidates = cells.filter(F.col("_cell").isin(probe_cells))

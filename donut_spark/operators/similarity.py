@@ -44,6 +44,7 @@ __all__ = [
     "srp_signatures",
     "hyperplane_lsh_topk",
     "ivf_topk",
+    "adaptive_probe_cells",
     "embedding_near_dup_pairs",
     "srp_candidate_pairs",
     "cosine_pairs_blocked",
@@ -132,6 +133,45 @@ def _stable_probe_cells(cn: np.ndarray, qn: np.ndarray, n_probe: int) -> list:
     Single shared definition (see :func:`_unit_rows`)."""
     order = np.argsort(-(cn @ qn), kind="stable")
     return [int(c) for c in order[:n_probe]]
+
+
+def adaptive_probe_cells(
+    cn: np.ndarray,
+    qn: np.ndarray,
+    n_probe: int,
+    margin: float = 0.15,
+    max_factor: float = 2.0,
+) -> list:
+    """Multi-probe widening for out-of-distribution queries (the fix for
+    the IVF OOD-recall backlog item): after taking the top-``n_probe``
+    cells, keep probing any further cell whose affinity is within
+    ``margin`` (as a fraction of the query's full affinity range) of the
+    BOUNDARY cell's — cells statistically indistinguishable from the
+    last chosen one are equally likely to hold true neighbors, which is
+    exactly the failure mode of a flat affinity profile (an OOD query is
+    far from every centroid, so its profile is flat and a fixed budget
+    arbitrarily cuts through a plateau).
+
+    On well-separated (clustered) queries the boundary sits on a steep
+    drop, the cut excludes the tail, and the probe set stays at
+    ``n_probe`` — no extra cost where the index works well. The widening
+    is budget-capped at ``max_factor × n_probe`` so a pathological
+    profile can't silently degrade to a full scan (measured at the
+    sf1-equivalent scale in BENCH/r4_sf1.md: near-isotropic synthetic
+    embeddings have NO cluster structure, so even full widening cannot
+    reach recall 1 — the cap makes that trade explicit rather than
+    unbounded). Ties ordered by the same stable discipline as
+    :func:`_stable_probe_cells`."""
+    scores = cn @ qn
+    order = np.argsort(-scores, kind="stable")
+    s = scores[order]
+    base = min(n_probe, len(s))
+    cap = min(len(s), max(base, int(round(n_probe * max_factor))))
+    cut = s[base - 1] - margin * float(s[0] - s[-1])
+    p = base
+    while p < cap and s[p] >= cut:
+        p += 1
+    return [int(c) for c in order[:p]]
 
 
 def cell_assigner_udf(cn: np.ndarray):
@@ -292,11 +332,14 @@ def ivf_topk(
     n_probe: int = 4,
     seed_iters: int = 3,
     centroids: "np.ndarray | None" = None,
+    multiprobe_margin: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize every vector to its
     nearest centroid (one vectorized matmul per Arrow batch), probe the
     ``n_probe`` centroids nearest the query, exact-rerank only those
-    cells.
+    cells. ``multiprobe_margin`` turns on adaptive probe widening for
+    flat-affinity (OOD) queries — see :func:`adaptive_probe_cells`;
+    ``None`` keeps the fixed, oracle-pinned probe discipline.
 
     ``centroids``, when given, is a PRE-NORMALIZED codebook used
     verbatim (e.g. the committed fixture of
@@ -319,7 +362,10 @@ def ivf_topk(
 
     q = np.asarray(query_vec, dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probe_cells = _stable_probe_cells(cn, qn, n_probe)
+    if multiprobe_margin is None:
+        probe_cells = _stable_probe_cells(cn, qn, n_probe)
+    else:
+        probe_cells = adaptive_probe_cells(cn, qn, n_probe, multiprobe_margin)
 
     candidates = df.withColumn("_cell", cell_of(F.col(vec_col))).filter(
         F.col("_cell").isin(probe_cells)

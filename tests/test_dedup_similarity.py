@@ -588,3 +588,87 @@ def test_contamination_overlap_planted(spark):
     rows = {r.doc_id: r.n_distinct_hits for r in hits.collect()}
     assert "c1" in rows and rows["c1"] >= 1
     assert "c2" not in rows
+
+
+def test_adaptive_multiprobe_widths():
+    """adaptive_probe_cells geometry, no Spark: a FLAT affinity profile
+    (OOD query on near-isotropic data) widens past n_probe up to the
+    budget cap; a STEEP boundary drop (clustered data, query aligned
+    with few cells) keeps exactly n_probe; the stable tie-break order is
+    preserved (prefix = _stable_probe_cells)."""
+    import numpy as np
+
+    from donut_spark.operators.similarity import (
+        _stable_probe_cells,
+        _unit_rows,
+        adaptive_probe_cells,
+    )
+
+    rng = np.random.default_rng(5)
+    # flat: 16 random unit centroids vs an unrelated query
+    cn = _unit_rows(rng.standard_normal((16, 32)))
+    qn = rng.standard_normal(32)
+    qn /= np.linalg.norm(qn)
+    flat = adaptive_probe_cells(cn, qn, 4, margin=0.15, max_factor=2.0)
+    assert len(flat) > 4, "flat profile must widen"
+    assert len(flat) <= 8, "budget cap: at most max_factor * n_probe"
+    assert flat[:4] == _stable_probe_cells(cn, qn, 4)
+
+    # steep: the boundary (2nd) cell scores far above every further
+    # cell — the cut excludes the tail, probe set stays at n_probe
+    e0, e1 = np.eye(32)[0], np.eye(32)[1]
+    steep_cn = np.stack(
+        [e0, 0.8 * e0 + 0.6 * e1] + [-e0 + 0.01 * np.eye(32)[i] for i in range(2, 8)]
+    )
+    steep_cn = _unit_rows(steep_cn)
+    steep = adaptive_probe_cells(steep_cn, e0, 2, margin=0.15, max_factor=4.0)
+    assert len(steep) == 2, steep
+
+    # exact-tie plateau AT the boundary: tied cells are indistinguishable
+    # from the chosen one, so they are probed (up to the cap) — the
+    # documented plateau semantics
+    axes = np.eye(8)
+    plateau = adaptive_probe_cells(axes, axes[0], 2, margin=0.15, max_factor=2.0)
+    assert len(plateau) == 4  # cap = 2x n_probe
+
+
+def test_ivf_multiprobe_ood_recall_gain(spark):
+    """The OOD-recall fix measured end-to-end on the near-isotropic
+    bench embeddings (the hard case: no cluster structure to exploit —
+    BENCH/r4_sf1.md documents the same curve at the sf1-equivalent
+    scale): anti-centroid + held-out random queries at n_probe=8/16.
+    Adaptive widening (margin 0.15, cap 2x) must never lose to the
+    fixed probe and must lift mean recall@20 to >= 0.85."""
+    import numpy as np
+
+    from donut_spark.operators.similarity import (
+        _ivf_centroids,
+        _unit_rows,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    cents = _ivf_centroids(e, 16, "embedding", "vec_id", 3)
+    cn = _unit_rows(cents)
+    rng = np.random.default_rng(99)
+    queries = [(-cents[k] / np.linalg.norm(cents[k])).tolist() for k in (0, 8)]
+    queries += [(v / np.linalg.norm(v)).tolist() for v in rng.standard_normal((2, 64))]
+
+    fixed, adapt = [], []
+    for q in queries:
+        brute = {r.vec_id for r in cosine_topk(e, q, k=20).collect()}
+        f = {
+            r.vec_id
+            for r in ivf_topk(e, q, k=20, n_probe=8, centroids=cn).collect()
+        }
+        a = {
+            r.vec_id
+            for r in ivf_topk(
+                e, q, k=20, n_probe=8, centroids=cn, multiprobe_margin=0.15
+            ).collect()
+        }
+        fixed.append(len(brute & f) / 20)
+        adapt.append(len(brute & a) / 20)
+    assert all(a >= f for a, f in zip(adapt, fixed)), (adapt, fixed)
+    assert sum(adapt) / len(adapt) >= 0.85, (adapt, fixed)
