@@ -672,3 +672,32 @@ def test_ivf_multiprobe_ood_recall_gain(spark):
         adapt.append(len(brute & a) / 20)
     assert all(a >= f for a, f in zip(adapt, fixed)), (adapt, fixed)
     assert sum(adapt) / len(adapt) >= 0.85, (adapt, fixed)
+
+
+def test_index_meta_publish_is_atomic(spark, tmp_path):
+    """_write_meta commits _meta.json via tmp + FS rename (the index
+    commit marker doubles as the builders' idempotency key, so a crash
+    mid-write must never leave a truncated marker): after a publish the
+    final file holds complete JSON and no .tmp remains; an orphaned
+    .tmp from a simulated crash is simply overwritten by the next
+    publish."""
+    import json
+    import os
+
+    from donut_spark.operators.ann_index import _read_meta, _write_meta
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    # simulated crash artifact: truncated tmp, no final marker
+    with open(os.path.join(path, "_meta.json.tmp"), "w") as fh:
+        fh.write('{"trunc')
+    assert not os.path.exists(os.path.join(path, "_meta.json"))
+
+    _write_meta(spark, path, {"centroids": [[1.0, 2.0]], "k": 3})
+    assert json.load(open(os.path.join(path, "_meta.json")))["k"] == 3
+    assert not os.path.exists(os.path.join(path, "_meta.json.tmp"))
+    assert _read_meta(spark, path)["centroids"] == [[1.0, 2.0]]
+
+    # re-publish over an existing marker (overwrite path) works too
+    _write_meta(spark, path, {"k": 4})
+    assert _read_meta(spark, path)["k"] == 4
