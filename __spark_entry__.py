@@ -819,14 +819,31 @@ def q51_ann_pq(spark, sf):
     parameters the refine window provably recovers brute-force top-20
     on this data at both oracle scales — so the oracle is exact
     brute-force SQL, and any codebook/encode/LUT/rerank bug breaks it
-    (verified sensitive: m=16 or k=128 variants DO mismatch)."""
-    from donut_spark.operators.pq import pq_topk, train_pq_codebooks
+    (verified sensitive: m=16 or k=128 variants DO mismatch).
+
+    Production-shaped since round 4: codes are encoded ONCE into a
+    persisted `write_pq_index` layout (keyed-cached like q50/q53) and
+    the probe scans the compressed code table only — identical result
+    to the online `pq_topk`, pinned by
+    tests/test_dedup_similarity.py::test_pq_index_probe_matches_online."""
+    import hashlib
+    import os
+
+    from donut_spark.operators.ann_index import probe_pq_index, write_pq_index
+    from donut_spark.sources.fixtures import FIXTURES_ROOT
 
     e = _sf(sf)(spark, "embeddings")
-    books = train_pq_codebooks(e, m=8, k=64)
-    return pq_topk(e, books, _unit_query_vec(64), k=20, rerank=100).withColumn(
-        "cosine", F.round("cosine", 6)
-    )
+    name = os.path.basename(sf.rstrip("/"))
+    src = os.stat(os.path.join(sf, "embeddings.parquet"))
+    key = hashlib.blake2s(
+        f"pq.m8.k64|{src.st_size}|{int(src.st_mtime)}".encode(), digest_size=6
+    ).hexdigest()
+    path = os.path.join(FIXTURES_ROOT, f"ann_pq_{name}_{key}")
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        write_pq_index(e, path, m=8, k=64)
+    return probe_pq_index(
+        spark, path, e, _unit_query_vec(64), k=20, rerank=100
+    ).withColumn("cosine", F.round("cosine", 6))
 
 
 def q52_contamination(spark, sf):

@@ -42,7 +42,12 @@ HEADLINE = [
 # persisted-index queries: after the battery (index built + cached on
 # disk) one more invocation times the PROBE ALONE — the repeated-query
 # regime the index layouts exist for
-PROBE_ONLY = ["q50_ann_index_probe", "q53_ann_ivfadc", "q54_ann_ivfadc_pruned"]
+PROBE_ONLY = [
+    "q50_ann_index_probe",
+    "q51_ann_pq",
+    "q53_ann_ivfadc",
+    "q54_ann_ivfadc_pruned",
+]
 
 
 def calibrate() -> dict:

@@ -42,6 +42,8 @@ __all__ = [
     "train_ivfadc",
     "write_ivfadc_index",
     "probe_ivfadc_index",
+    "write_pq_index",
+    "probe_pq_index",
 ]
 
 
@@ -379,6 +381,69 @@ def probe_ivfadc_index(
     )
     cand_ids = (
         scored.orderBy(F.desc("_adc"), F.col("id"))
+        .limit(rerank)
+        .select(F.col("id").alias(id_col))
+    )
+    candidates = base.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+def write_pq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 64,
+    pq_iters: int = 8,
+    codebooks: np.ndarray | None = None,
+) -> str:
+    """Persist the plain-PQ serving layout: ``(id, _pq)`` codes for
+    every row plus the codebooks in the ``_meta.json`` sidecar.
+
+    Unlike the IVF layouts there is no partition pruning — plain PQ's
+    scale story is the COMPRESSED full scan (m small ints per row
+    instead of the raw vector, 32-256× less I/O and pure-JVM scoring),
+    the memory-bounded regime of Jégou 2011 §IV. Codes are encoded once
+    at write time (one argmin matmul per Arrow batch); a probe never
+    touches raw vectors outside its rerank set. Deterministic (seeded
+    codebook sample), so two cluster sizes produce identical codes."""
+    from .pq import pq_encode, train_pq_codebooks
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(df, m, k, vec_col, id_col, pq_iters)
+    codebooks = np.asarray(codebooks, dtype="float64")
+    pq_encode(df.select(id_col, vec_col), codebooks, vec_col).select(
+        F.col(id_col).alias("id"), "_pq"
+    ).write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    _write_meta(df.sparkSession, path, {"codebooks": codebooks.tolist()})
+    return path
+
+
+def probe_pq_index(
+    spark: SparkSession,
+    path: str,
+    base: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    rerank: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k probe against a :func:`write_pq_index` layout: scan the
+    code table (compressed domain, literal-LUT ADC inside whole-stage
+    codegen — zero Python), take the top-``rerank`` ids, exact-cosine
+    rerank by id against the base table. Identical to
+    :func:`donut_spark.operators.pq.pq_topk` with the same codebooks —
+    minus the per-query encode scan."""
+    from .pq import pq_adc_scores
+    from .similarity import cosine_topk
+
+    books = np.asarray(_read_meta(spark, path)["codebooks"], dtype="float64")
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    cand_ids = (
+        pq_adc_scores(codes, books, query_vec)
+        .orderBy(F.desc("_adc"), F.col("id"))
         .limit(rerank)
         .select(F.col("id").alias(id_col))
     )

@@ -701,3 +701,27 @@ def test_index_meta_publish_is_atomic(spark, tmp_path):
     # re-publish over an existing marker (overwrite path) works too
     _write_meta(spark, path, {"k": 4})
     assert _read_meta(spark, path)["k"] == 4
+
+
+def test_pq_index_probe_matches_online(spark, tmp_path):
+    """The persisted PQ layout (write_pq_index: codes parquet + codebook
+    sidecar) must return exactly what the online pq_topk returns with
+    the same codebooks — the probe skips the per-query encode scan but
+    may not change a single row."""
+    from donut_spark.operators.ann_index import probe_pq_index, write_pq_index
+    from donut_spark.operators.pq import pq_topk, train_pq_codebooks
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(e, m=8, k=64)
+    q = [0.3] * 32 + [-0.2] * 32
+    online = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in pq_topk(e, books, q, k=15, rerank=60).collect()
+    ]
+    path = str(tmp_path / "pq_idx")
+    write_pq_index(e, path, codebooks=books)
+    probed = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in probe_pq_index(spark, path, e, q, k=15, rerank=60).collect()
+    ]
+    assert probed == online and len(probed) == 15
