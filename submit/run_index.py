@@ -25,11 +25,16 @@ Output layout under ``--output``:
                                       (Jégou 2011 §V); probes score
                                       compressed codes, rerank by id
     ivfadc/_meta.json                 coarse centroids + PQ codebooks
+    pq/codes/                         (id, PQ codes) — plain PQ's
+                                      compressed-full-scan layout
+                                      (32-256x less I/O than raw
+                                      vectors, pure-JVM ADC scoring)
+    pq/_meta.json                     the PQ codebooks
 
 Probe with ``donut_spark.operators.ann_index.probe_srp_index`` /
-``probe_ivf_index`` / ``probe_ivfadc_index`` — results proven identical
-to the online operators / exact brute force in the exactness regime
-(tests/test_dedup_similarity.py).
+``probe_ivf_index`` / ``probe_ivfadc_index`` / ``probe_pq_index`` —
+results proven identical to the online operators / exact brute force in
+the exactness regime (tests/test_dedup_similarity.py).
 """
 
 from __future__ import annotations
@@ -43,9 +48,9 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument(
         "--kind",
-        choices=("srp", "ivf", "ivfadc", "both", "all"),
+        choices=("srp", "ivf", "ivfadc", "pq", "both", "all"),
         default="both",
-        help="'both' = srp+ivf (back-compat); 'all' adds ivfadc",
+        help="'both' = srp+ivf (back-compat); 'all' adds ivfadc + pq",
     )
     ap.add_argument("--vec-col", default="embedding")
     ap.add_argument("--id-col", default="vec_id")
@@ -62,6 +67,7 @@ def main() -> None:
     from donut_spark.operators.ann_index import (
         write_ivf_index,
         write_ivfadc_index,
+        write_pq_index,
         write_srp_index,
     )
     from donut_spark.sources.session import ENGINE_CONF
@@ -103,6 +109,16 @@ def main() -> None:
             k=args.pq_k,
         )
         print(f"ivfadc index -> {path}")
+    if args.kind in ("pq", "all"):
+        path = write_pq_index(
+            emb,
+            f"{args.output}/pq",
+            vec_col=args.vec_col,
+            id_col=args.id_col,
+            m=args.pq_m,
+            k=args.pq_k,
+        )
+        print(f"pq index -> {path}")
 
 
 if __name__ == "__main__":

@@ -6,6 +6,7 @@ so ``import donut_spark`` can only be satisfied by the zip artifact —
 this catches packaging regressions (missing module, non-zip-safe code).
 """
 
+import json
 import os
 import subprocess
 import sys
@@ -162,6 +163,7 @@ def test_spark_submit_index_build(spark, tmp_path):
     from donut_spark.operators.ann_index import (
         probe_ivf_index,
         probe_ivfadc_index,
+        probe_pq_index,
         probe_srp_index,
     )
     from donut_spark.operators.similarity import cosine_topk
@@ -177,3 +179,72 @@ def test_spark_submit_index_build(spark, tmp_path):
         spark, f"{out_dir}/ivfadc", emb, q, k=10, n_probe=8, rerank=500
     ).collect()
     assert [r.vec_id for r in adc_full] == [r.vec_id for r in brute]
+    # plain PQ layout: rerank window of the whole table == brute force
+    pq_full = probe_pq_index(
+        spark, f"{out_dir}/pq", emb, q, k=10, rerank=500
+    ).collect()
+    assert [r.vec_id for r in pq_full] == [r.vec_id for r in brute]
+
+
+def test_spark_submit_contamination_sweep(spark, tmp_path):
+    """The contamination sweep ships via spark-submit --py-files too:
+    planted verbatim excerpts are flagged (n_hits counts occurrences),
+    clean docs are not, and --quarantine writes the release-ready table
+    with every flagged doc removed."""
+    leak = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliett kilo lima mike"
+    )  # 13 words == the default n, so the doc must contain it verbatim
+    corpus_rows = [
+        ("c1", f"prefix text {leak} suffix text"),              # leaked
+        ("c2", "totally unrelated corpus document with plenty of words "
+               "that overlap nothing in the benchmark at all here"),
+        ("c3", f"{leak} and then later once more {leak} end"),  # 2x quote
+    ]
+    bench_rows = [("b1", leak), ("b2", "another held out benchmark row")]
+    src_c = str(tmp_path / "corpus_in")
+    src_b = str(tmp_path / "bench_in")
+    spark.createDataFrame(corpus_rows, ["doc_id", "text"]).write.parquet(src_c)
+    spark.createDataFrame(bench_rows, ["doc_id", "text"]).write.parquet(src_b)
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "package.py")],
+        capture_output=True, text=True, check=True,
+    )
+    zip_path = out.stdout.strip().splitlines()[-1]
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    out_dir = str(tmp_path / "contam_out")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_HOME")
+    }
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            os.path.join(REPO, "submit", "run_contamination.py"),
+            "--corpus", src_c,
+            "--benchmark", src_b,
+            "--output", out_dir,
+            "--quarantine",
+        ],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    flagged = {
+        r.doc_id: (r.n_hits, r.n_distinct_hits)
+        for r in spark.read.parquet(f"{out_dir}/flagged").collect()
+    }
+    assert set(flagged) == {"c1", "c3"}
+    assert flagged["c3"][0] == 2 * flagged["c3"][1] > 0  # occurrences
+    clean = {r.doc_id for r in spark.read.parquet(f"{out_dir}/clean").collect()}
+    assert clean == {"c2"}
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["corpus_docs"] == 3 and summary["flagged_docs"] == 2
+    assert summary["clean_docs"] == 1
