@@ -539,13 +539,14 @@ def q29_multimodal(spark, sf):
     decoded dimensions and pixel checksum from the generation
     arithmetic (dims/pixels are closed-form in the ref number; no PNG
     code on the SQL side) — any encoder/decoder bug breaks equality.
-    jpeg rows are HEADER-verified: the synth writes a real JFIF/SOF0
-    stream (core/jpeg.py), the featurizer parses width/height back out
-    of the marker bytes, and the oracle recomputes the dims from the
-    same ref-number arithmetic — so jpg_w/jpg_h check the encode→parse
-    loop end-to-end (pixels stay stubbed: no entropy decoder in this
-    container). meta_ok additionally pins parsed == claimed for
-    png+jpeg and metadata bounds for webm."""
+    jpeg and webm rows are HEADER-verified: the synth writes a real
+    JFIF/SOF0 stream (core/jpeg.py) / EBML video-track header
+    (core/ebml.py), the featurizer parses width/height back out of the
+    byte streams, and the oracle recomputes the dims from the same
+    ref-number arithmetic — so jpg_w/jpg_h/webm_w/webm_h check each
+    encode→parse loop end-to-end (pixels/frames stay stubbed: no
+    entropy/VP8 decoder in this container). meta_ok pins
+    parsed == claimed for every format."""
     from donut_spark.operators.multimodal import (
         decode_and_featurize,
         synth_media_table,
@@ -562,6 +563,7 @@ def q29_multimodal(spark, sf):
         F.col("meta.height").alias("mh"),
     )
     png, jpg = F.col("fmt") == "png", F.col("fmt") == "jpeg"
+    webm = F.col("fmt") == "webm"
     return feats.join(F.broadcast(meta_dim), "media_ref").select(
         "media_ref",
         F.size("features").alias("feat_dim"),
@@ -570,19 +572,12 @@ def q29_multimodal(spark, sf):
         "pix_sum",
         F.when(jpg, F.col("width")).alias("jpg_w"),
         F.when(jpg, F.col("height")).alias("jpg_h"),
-        F.when(
-            png | jpg,
-            (
-                (F.col("width") == F.col("mw"))
-                & (F.col("height") == F.col("mh"))
-            ).cast("int"),
+        F.when(webm, F.col("width")).alias("webm_w"),
+        F.when(webm, F.col("height")).alias("webm_h"),
+        (
+            (F.col("width") == F.col("mw")) & (F.col("height") == F.col("mh"))
         )
-        .otherwise(
-            (
-                F.col("width").between(64, 575)
-                & F.col("height").between(64, 575)
-            ).cast("int")
-        )
+        .cast("int")
         .alias("meta_ok"),
     )
 
@@ -1553,7 +1548,13 @@ def _oracle_sql_for(
                      CASE WHEN num % 3 = 0
                           THEN CAST(64 + (num * 11) % 512 AS INT) END AS jpg_w,
                      CASE WHEN num % 3 = 0
-                          THEN CAST(64 + (num * 17) % 512 AS INT) END AS jpg_h
+                          THEN CAST(64 + (num * 17) % 512 AS INT) END AS jpg_h,
+                     -- webm EBML video-track dims (num % 3 = 2): parsed
+                     -- back out of the real Matroska header
+                     CASE WHEN num % 3 = 2
+                          THEN CAST(64 + (num * 23) % 512 AS INT) END AS webm_w,
+                     CASE WHEN num % 3 = 2
+                          THEN CAST(64 + (num * 29) % 512 AS INT) END AS webm_h
               FROM (SELECT media_ref,
                            CAST(split_part(media_ref, '_', 2) AS BIGINT) * 1000
                              + CAST(split_part(media_ref, '_', 3) AS BIGINT)
@@ -1575,7 +1576,7 @@ def _oracle_sql_for(
             )
             SELECT dims.media_ref,
                    CAST(8 AS INT) AS feat_dim,
-                   png_w, png_h, pix.pix_sum, jpg_w, jpg_h,
+                   png_w, png_h, pix.pix_sum, jpg_w, jpg_h, webm_w, webm_h,
                    CAST(1 AS INT) AS meta_ok
             FROM dims LEFT JOIN pix ON dims.media_ref = pix.media_ref
         """,

@@ -112,6 +112,12 @@ def _jpeg_dims_for(num: int) -> tuple[int, int]:
     return 64 + (num * 11) % 512, 64 + (num * 17) % 512
 
 
+def _webm_dims_for(num: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) for webm rows — closed-form in the ref
+    number so the q29 oracle recomputes them without any EBML code."""
+    return 64 + (num * 23) % 512, 64 + (num * 29) % 512, 1 + (num * 7) % 120
+
+
 def _png_pixels(num: int, width: int, height: int) -> bytes:
     """pixel(x, y, c) = (7x + 13y + 29c + num) mod 256 — closed-form
     arithmetic both the Spark synth and the SQL oracle evaluate."""
@@ -134,10 +140,12 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     header stream (``core/jpeg.py`` — SOI/APP0/COM/SOF0/EOI) whose SOF
     dims equal the claimed metadata, so the featurizer's header parse
     verifies meta against bytes; only the pixel payload stays stubbed
-    (no entropy decoder in this container). webm rows keep seeded
-    pseudo-payloads with hash-derived claimed metadata. Everything is
-    derived from the ref string — stable across runs, partitionings,
-    and cluster sizes.
+    (no entropy decoder in this container). webm rows (``num % 3 == 2``)
+    likewise carry a REAL EBML/Matroska header (``core/ebml.py`` —
+    DocType webm, video TrackEntry with PixelWidth/PixelHeight matching
+    the claimed metadata, seeded payload in a Void element); frames/
+    pixels stay stubbed. Everything is derived from the ref string —
+    stable across runs, partitionings, and cluster sizes.
     """
     refs = (
         spans_df.select(F.explode("spans").alias("s"))
@@ -149,6 +157,7 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from ..core.ebml import encode_webm_header
         from ..core.jpeg import encode_jpeg_header
         from ..core.png import encode_png
 
@@ -172,12 +181,15 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                     )
                     meta = {"format": fmt, "width": w, "height": h, "n_frames": 1}
                 else:
-                    content = (seed.to_bytes(4, "big") * 16)[:64]
+                    w, h, n_frames = _webm_dims_for(num)
+                    content = encode_webm_header(
+                        w, h, payload=(seed.to_bytes(4, "big") * 16)[:64]
+                    )
                     meta = {
                         "format": fmt,
-                        "width": 64 + seed % 512,
-                        "height": 64 + (seed >> 8) % 512,
-                        "n_frames": 1 + seed % 120,
+                        "width": w,
+                        "height": h,
+                        "n_frames": n_frames,
                     }
                 rows.append((ref, content, meta))
             yield pd.DataFrame(rows, columns=["media_ref", "content", "meta"])
@@ -193,12 +205,12 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
     (the oracle-checkable pixel checksum), and features are per-band
     grayscale means over the actual pixels (``feat_dim`` horizontal
     bands, /255). jpeg rows parse the REAL SOF frame header
-    (``core/jpeg.py``) — width/height come from the marker stream, not
-    the metadata, so a mislabeled row is caught; only the pixel decode
-    stays stubbed (crc-chain features, ``pix_sum`` null — no entropy
-    decoder in this container). webm rows keep the full deterministic
-    fake; the Arrow batch plumbing is exactly what a real codec would
-    plug into.
+    (``core/jpeg.py``), webm rows the REAL EBML video-track header
+    (``core/ebml.py``) — width/height come from the byte streams, not
+    the metadata, so a mislabeled row is caught; only pixel/frame
+    decode stays stubbed (crc-chain features, ``pix_sum`` null — no
+    entropy/VP8 decoder in this container). The Arrow batch plumbing is
+    exactly what a real codec would plug into.
     """
     use_real = _have_pillow()
 
@@ -206,6 +218,7 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from ..core.ebml import EBML_MAGIC, webm_dims
         from ..core.jpeg import JPEG_SOI, jpeg_dims
         from ..core.png import PNG_SIGNATURE, decode_png
 
@@ -237,14 +250,21 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
                     ]
                     rows.append((ref, w, h, feats, int(arr.sum())))
                     continue
-                # JPEG: real header parse (SOF dims from the marker
-                # stream — verifies claimed meta against bytes); pixels
-                # stay stubbed. A malformed/truncated stream falls
-                # through to the meta-dims stub path, never crashes.
+                # JPEG/webm: real header parse (SOF dims / EBML video
+                # track — verifies claimed meta against bytes); pixels
+                # and frames stay stubbed. A malformed/truncated stream
+                # falls through to the meta-dims stub path, never
+                # crashes.
                 jdims = None
-                if bytes(content).startswith(JPEG_SOI):
+                raw = bytes(content)
+                if raw.startswith(JPEG_SOI):
                     try:
-                        jdims = jpeg_dims(bytes(content))
+                        jdims = jpeg_dims(raw)
+                    except ValueError:
+                        jdims = None
+                elif raw.startswith(EBML_MAGIC):
+                    try:
+                        jdims = webm_dims(raw)
                     except ValueError:
                         jdims = None
                 if use_real:  # pragma: no cover - container has no PIL

@@ -1,0 +1,79 @@
+"""core/ebml.py — EBML/Matroska-WebM header codec (RFC 8794 + the
+public Matroska element registry). Header-only: the codec's job is
+verifiable video-track dimensions (encode → parse roundtrip) and a
+clean ValueError contract on malformed streams."""
+
+import pytest
+
+from donut_spark.core.ebml import EBML_MAGIC, encode_webm_header, webm_dims
+
+
+@pytest.mark.parametrize(
+    "w,h",
+    [(1, 1), (64, 64), (575, 64), (320, 240), (1920, 1080), (70000, 70000)],
+)
+def test_header_roundtrip(w, h):
+    data = encode_webm_header(w, h, payload=b"seeded payload bytes")
+    assert data.startswith(EBML_MAGIC)
+    assert webm_dims(data) == (w, h)
+
+
+def test_multibyte_vint_sizes():
+    # a payload long enough to force a 2-byte size vint on Segment/Void
+    data = encode_webm_header(12, 34, payload=b"\xa5" * 500)
+    assert webm_dims(data) == (12, 34)
+
+
+def test_parser_rejects_malformed():
+    good = encode_webm_header(10, 20)
+    with pytest.raises(ValueError, match="magic"):
+        webm_dims(b"not ebml at all")
+    with pytest.raises(ValueError):
+        webm_dims(good[: len(good) - 6])  # truncated inside Void/Tracks
+    # no video track: EBML header only
+    header_only = good[: good.index(b"\x18\x53\x80\x67")]
+    with pytest.raises(ValueError, match="no video"):
+        webm_dims(header_only)
+    # element overrunning its parent
+    bad = bytearray(good)
+    idx = bad.index(b"\xb0")  # PixelWidth id
+    bad[idx + 1] = 0xFF - 0x80 + 0x80  # keep 1-byte marker, huge size
+    bad[idx + 1] = 0xFE
+    with pytest.raises(ValueError):
+        webm_dims(bytes(bad))
+
+
+def test_encoder_validates_dims():
+    with pytest.raises(ValueError, match="out of range"):
+        encode_webm_header(0, 10)
+
+
+def test_synth_webm_rows_header_verified(spark):
+    """synth_media_table's webm rows carry a real EBML header whose
+    video-track dims equal the claimed metadata — and
+    decode_and_featurize's width/height come from the PARSED bytes."""
+    from pyspark.sql import functions as F
+
+    from donut_spark.operators.multimodal import (
+        decode_and_featurize,
+        synth_media_table,
+    )
+    from donut_spark.sources.fixtures import load_spans
+
+    spans = load_spans(spark, "/root/testdata/sf0.001").filter(
+        F.col("doc_id").cast("long") < 60
+    )
+    media = synth_media_table(spark, spans)
+    webms = media.filter(F.col("meta.format") == "webm")
+    rows = webms.collect()
+    assert rows, "fixture contains no webm refs below doc 60"
+    for r in rows:
+        assert webm_dims(bytes(r.content)) == (r.meta.width, r.meta.height)
+    feats = (
+        decode_and_featurize(media)
+        .join(webms.select("media_ref", "meta"), "media_ref")
+        .collect()
+    )
+    for r in feats:
+        assert (r.width, r.height) == (r.meta.width, r.meta.height)
+        assert r.pix_sum is None  # frames/pixels stay stubbed for webm
