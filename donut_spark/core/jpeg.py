@@ -81,6 +81,8 @@ def encode_jpeg_header(width: int, height: int, comment: bytes = b"") -> bytes:
     identical bytes."""
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError(f"JPEG dims {width}x{height} out of range")
+    if len(comment) > 0xFFFF - 2:
+        raise ValueError("JPEG COM payload exceeds the 2-byte segment length")
     app0 = b"JFIF\x00" + bytes([1, 2, 0]) + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
     sof0 = (
         bytes([8])  # precision

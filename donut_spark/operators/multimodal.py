@@ -330,17 +330,21 @@ def resize_media(
 
     PNG rows run a REAL decode → nearest-neighbor resize → re-encode
     (``core/png.py``), so the output content is a valid PNG of the
-    target dimensions. jpeg/webm rows keep the deterministic fake
-    (seed-derived payload whose LENGTH scales with the target area, so
-    batch-shape and memory behavior track a real resize); a real
-    JPEG/video codec is absent in this container. The Spark plumbing —
-    one Arrow batch in, one out, bounded rows per batch, binary column
-    through — is the real contract either way."""
+    target dimensions. jpeg/webm rows re-emit a REAL header at the
+    TARGET dimensions (``core/jpeg.py`` / ``core/ebml.py``) carrying a
+    seed-derived payload whose LENGTH scales with the target area — so
+    chained operations (resize → featurize) still header-verify, and
+    batch-shape/memory behavior track a real resize; only the pixel
+    transcode is absent (no codec in this container). The Spark
+    plumbing — one Arrow batch in, one out, bounded rows per batch,
+    binary column through — is the real contract either way."""
     use_real = _have_pillow()
 
     def rz(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from ..core.ebml import EBML_MAGIC, encode_webm_header
+        from ..core.jpeg import JPEG_SOI, encode_jpeg_header
         from ..core.png import PNG_SIGNATURE, decode_png, encode_png, resize_nearest
 
         for pdf in batches:
@@ -371,6 +375,12 @@ def resize_media(
                 seed = zlib.crc32(raw)
                 n = max(16, (width * height) // 512)
                 payload = (seed.to_bytes(4, "big") * ((n + 3) // 4))[:n]
+                # keep the output header-real at the TARGET dims so a
+                # chained featurize still verifies dims from bytes
+                if raw.startswith(JPEG_SOI):
+                    payload = encode_jpeg_header(width, height, comment=payload)
+                elif raw.startswith(EBML_MAGIC):
+                    payload = encode_webm_header(width, height, payload=payload)
                 rows.append((ref, payload, width, height))
             yield pd.DataFrame(
                 rows, columns=["media_ref", "content", "width", "height"]

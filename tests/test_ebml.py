@@ -77,3 +77,27 @@ def test_synth_webm_rows_header_verified(spark):
     for r in feats:
         assert (r.width, r.height) == (r.meta.width, r.meta.height)
         assert r.pix_sum is None  # frames/pixels stay stubbed for webm
+
+
+def test_resize_keeps_headers_real(spark):
+    """resize_media's jpeg/webm outputs carry a REAL header at the
+    TARGET dims, so a chained featurize verifies dims from bytes."""
+    from pyspark.sql import functions as F
+
+    from donut_spark.core.jpeg import jpeg_dims
+    from donut_spark.operators.multimodal import resize_media, synth_media_table
+    from donut_spark.sources.fixtures import load_spans
+
+    spans = load_spans(spark, "/root/testdata/sf0.001").filter(
+        F.col("doc_id").cast("long") < 40
+    )
+    media = synth_media_table(spark, spans)
+    resized = resize_media(media, width=96, height=72)
+    fmt = media.select("media_ref", F.col("meta.format").alias("fmt"))
+    for r in resized.join(fmt, "media_ref").collect():
+        raw = bytes(r.content)
+        if r.fmt == "jpeg":
+            assert jpeg_dims(raw) == (96, 72)
+        elif r.fmt == "webm":
+            assert webm_dims(raw) == (96, 72)
+        assert (r.width, r.height) == (96, 72)

@@ -777,7 +777,17 @@ def test_multimodal_resize_and_frame_sample(spark):
             assert rgb == resize_nearest(orgb, ow, oh, 128, 96)
             n_png += 1
         else:
-            assert len(r.content) == (128 * 96) // 512
+            # jpeg/webm outputs are header-real at the TARGET dims with
+            # an area-scaled stub payload inside
+            from donut_spark.core.ebml import webm_dims
+            from donut_spark.core.jpeg import jpeg_dims
+
+            raw = bytes(r.content)
+            if fmts[r.media_ref] == "jpeg":
+                assert jpeg_dims(raw) == (128, 96)
+            else:
+                assert webm_dims(raw) == (128, 96)
+            assert len(raw) >= (128 * 96) // 512
     assert n_png > 0
     # deterministic across runs
     again = {r.media_ref: bytes(r.content) for r in resize_media(media, 128, 96).collect()}
