@@ -15,7 +15,7 @@ ValueError — the multimodal poison-row contract.
 
 from __future__ import annotations
 
-__all__ = ["EBML_MAGIC", "webm_dims", "encode_webm_header"]
+__all__ = ["EBML_MAGIC", "webm_dims", "webm_frames", "encode_webm_header"]
 
 EBML_MAGIC = b"\x1a\x45\xdf\xa3"
 
@@ -26,6 +26,9 @@ _TRACK_ENTRY = 0xAE
 _VIDEO = 0xE0
 _PIXEL_W = 0xB0
 _PIXEL_H = 0xBA
+_CLUSTER = 0x1F43B675
+_TIMESTAMP = 0xE7
+_SIMPLE_BLOCK = 0xA3
 # master elements the parser recurses into on the way to Video
 _RECURSE = {_SEGMENT, _TRACKS, _TRACK_ENTRY, _VIDEO}
 
@@ -120,6 +123,45 @@ def webm_dims(data: bytes) -> tuple[int, int]:
     return width, height
 
 
+def webm_frames(data: bytes) -> list:
+    """Codec frame payloads of every SimpleBlock, in container order:
+    ``[(timestamp, payload_bytes), ...]`` with timestamp = cluster
+    Timestamp + the block's signed 16-bit relative timestamp. This is
+    the REAL Matroska demux step of frame sampling — only the codec
+    payload itself (VP8/VP9 bitstream in a true webm) stays opaque.
+    Raises ValueError on malformed streams."""
+    b = bytes(data)
+    if b[: len(EBML_MAGIC)] != EBML_MAGIC:
+        raise ValueError("not an EBML/webm stream (bad magic)")
+    frames: list = []
+
+    def walk(start: int, end: int, cluster_ts: int) -> None:
+        i = start
+        ts = cluster_ts
+        while i < end:
+            eid, n = _read_id(b, i)
+            i += n
+            size, n = _read_size(b, i)
+            i += n
+            if i + size > end:
+                raise ValueError("EBML element overruns its parent")
+            if eid == _TIMESTAMP:
+                ts = int.from_bytes(b[i : i + size], "big")
+            elif eid == _SIMPLE_BLOCK:
+                # vint track number, int16 relative timestamp, flags
+                _, tn = _read_size(b, i)  # track number is a plain vint
+                if size < tn + 3:
+                    raise ValueError("malformed SimpleBlock header")
+                rel = int.from_bytes(b[i + tn : i + tn + 2], "big", signed=True)
+                frames.append((ts + rel, b[i + tn + 3 : i + size]))
+            elif eid in (_SEGMENT, _CLUSTER):
+                walk(i, i + size, ts)
+            i += size
+
+    walk(0, len(b), 0)
+    return frames
+
+
 def _vsize(n: int) -> bytes:
     """Encode a data size as the shortest EBML vint."""
     if n < 0:
@@ -138,11 +180,22 @@ def _uint(v: int) -> bytes:
     return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
 
 
-def encode_webm_header(width: int, height: int, payload: bytes = b"") -> bytes:
+def encode_webm_header(
+    width: int,
+    height: int,
+    payload: bytes = b"",
+    frames: "list[bytes] | None" = None,
+) -> bytes:
     """EBML header (DocType webm) + Segment(Tracks(TrackEntry(video,
-    PixelWidth, PixelHeight)) + Void(payload)) — header-complete, no
-    clusters/frames. ``payload`` rides in the Void element so two refs
-    never produce identical bytes."""
+    PixelWidth, PixelHeight)) + Void(payload) [+ Clusters]).
+
+    With ``frames``, each payload becomes a SimpleBlock (track 1,
+    keyframe flag) inside Clusters of up to 25 blocks with absolute
+    cluster Timestamps — a structurally real Matroska stream that
+    :func:`webm_frames` (or any demuxer) walks; the codec payloads are
+    whatever the caller supplies (the synth's deterministic stubs here,
+    VP8 bitstreams in a real file). ``payload`` rides in the Void
+    element so two refs never produce identical bytes."""
     if width <= 0 or height <= 0:
         raise ValueError(f"webm dims {width}x{height} out of range")
     ebml = _elem(EBML_MAGIC, _elem(b"\x42\x82", b"webm"))
@@ -150,4 +203,14 @@ def encode_webm_header(width: int, height: int, payload: bytes = b"") -> bytes:
     track = _elem(b"\xae", _elem(b"\x83", b"\x01") + video)  # TrackType 1 = video
     tracks = _elem(b"\x16\x54\xae\x6b", track)
     void = _elem(b"\xec", payload)
-    return ebml + _elem(b"\x18\x53\x80\x67", tracks + void)
+    clusters = b""
+    for c0 in range(0, len(frames or []), 25):
+        body = _elem(b"\xe7", _uint(c0))  # cluster Timestamp = frame idx
+        for rel, fr in enumerate(frames[c0 : c0 + 25]):
+            # SimpleBlock: track vint 0x81 (=1), int16 rel ts, flags 0x80
+            body += _elem(
+                b"\xa3",
+                b"\x81" + rel.to_bytes(2, "big") + b"\x80" + fr,
+            )
+        clusters += _elem(b"\x1f\x43\xb6\x75", body)
+    return ebml + _elem(b"\x18\x53\x80\x67", tracks + void + clusters)

@@ -118,6 +118,13 @@ def _webm_dims_for(num: int) -> tuple[int, int, int]:
     return 64 + (num * 23) % 512, 64 + (num * 29) % 512, 1 + (num * 7) % 120
 
 
+def _frame_payload(seed: int, idx: int) -> bytes:
+    """Deterministic stub codec payload for frame ``idx`` (crc-chained
+    on the media seed) — what rides inside each Matroska SimpleBlock."""
+    h = zlib.crc32(idx.to_bytes(4, "big"), seed)
+    return (h.to_bytes(4, "big") * 8)[:32]
+
+
 def _png_pixels(num: int, width: int, height: int) -> bytes:
     """pixel(x, y, c) = (7x + 13y + 29c + num) mod 256 — closed-form
     arithmetic both the Spark synth and the SQL oracle evaluate."""
@@ -182,8 +189,14 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                     meta = {"format": fmt, "width": w, "height": h, "n_frames": 1}
                 else:
                     w, h, n_frames = _webm_dims_for(num)
+                    # structurally real Matroska: one SimpleBlock per
+                    # frame (deterministic stub payloads — a real file
+                    # would carry VP8 bitstreams in the same slots)
                     content = encode_webm_header(
-                        w, h, payload=(seed.to_bytes(4, "big") * 16)[:64]
+                        w,
+                        h,
+                        payload=(seed.to_bytes(4, "big") * 16)[:64],
+                        frames=[_frame_payload(seed, i) for i in range(n_frames)],
                     )
                     meta = {
                         "format": fmt,
@@ -392,15 +405,21 @@ def resize_media(
 def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video media: one OUTPUT row per sampled frame
     (row-expanding mapInPandas — the batch shape a real ffmpeg-style
-    extractor needs). Images (n_frames == 1) emit their single frame;
-    videos emit frames 0, every_n, 2·every_n, … Deterministic fake
-    frame payloads (crc-chained on ref + frame index); real path plugs
-    a decoder into the same iterator."""
+    extractor needs). Still images (PNG/JPEG) emit their single frame
+    — the content itself. webm rows run the REAL Matroska demux
+    (``core/ebml.py::webm_frames`` walks Cluster/SimpleBlock elements)
+    and emit every ``every_n``-th block's codec payload keyed by its
+    container timestamp — only the VP8 payload decode is stubbed (the
+    payloads are the synth's deterministic stand-ins; a real file's
+    would be VP8 bitstreams in the same slots). Malformed streams fall
+    back to the meta-count fake path, never crash."""
     use_real = _have_pillow()
 
     def frames(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from ..core.ebml import EBML_MAGIC, webm_frames
+        from ..core.jpeg import JPEG_SOI
         from ..core.png import PNG_SIGNATURE
 
         for pdf in batches:
@@ -408,18 +427,28 @@ def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
             for ref, content, meta in zip(
                 pdf["media_ref"], pdf["content"], pdf["meta"]
             ):
-                if bytes(content).startswith(PNG_SIGNATURE):
+                raw = bytes(content)
+                if raw.startswith(PNG_SIGNATURE) or raw.startswith(JPEG_SOI):
                     # a still image IS its single frame — pass the real
-                    # (decodable) content through
-                    rows.append((ref, 0, bytes(content)))
+                    # content through
+                    rows.append((ref, 0, raw))
                     continue
+                if raw.startswith(EBML_MAGIC):
+                    try:
+                        demuxed = webm_frames(raw)
+                    except ValueError:
+                        demuxed = None
+                    if demuxed is not None:
+                        for ts, payload in demuxed[::every_n]:
+                            rows.append((ref, int(ts), bytes(payload)))
+                        continue
                 if use_real:  # pragma: no cover - no ffmpeg in container
                     raise NotImplementedError(
                         "real frame sampling: decode content, step by every_n"
                     )
                 n_frames = int(meta["n_frames"]) or 1
                 for idx in range(0, n_frames, every_n):
-                    h = zlib.crc32(idx.to_bytes(4, "big"), zlib.crc32(bytes(content)))
+                    h = zlib.crc32(idx.to_bytes(4, "big"), zlib.crc32(raw))
                     rows.append((ref, idx, (h.to_bytes(4, "big") * 8)[:32]))
             yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "content"])
 
