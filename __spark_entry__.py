@@ -539,14 +539,15 @@ def q29_multimodal(spark, sf):
     decoded dimensions and pixel checksum from the generation
     arithmetic (dims/pixels are closed-form in the ref number; no PNG
     code on the SQL side) — any encoder/decoder bug breaks equality.
-    jpeg and webm rows are HEADER-verified: the synth writes a real
-    JFIF/SOF0 stream (core/jpeg.py) / EBML video-track header
-    (core/ebml.py), the featurizer parses width/height back out of the
-    byte streams, and the oracle recomputes the dims from the same
-    ref-number arithmetic — so jpg_w/jpg_h/webm_w/webm_h check each
-    encode→parse loop end-to-end (pixels/frames stay stubbed: no
-    entropy/VP8 decoder in this container). meta_ok pins
-    parsed == claimed for every format."""
+    jpeg rows are verified end-to-end TOO: the synth encodes real
+    baseline grayscale JPEGs (core/jpeg.py — flat 8x8 blocks, so the
+    lossy-format roundtrip is provably bit-exact), the featurizer runs
+    the full Huffman+dequant+IDCT decode, and the oracle recomputes
+    decoded dims AND the pixel checksum from the block arithmetic with
+    no JPEG code on the SQL side. webm rows parse the REAL EBML
+    video-track header for dims (VP8 payloads stay stubbed — the one
+    codec this container can't verify). meta_ok pins parsed == claimed
+    for every format."""
     from donut_spark.operators.multimodal import (
         decode_and_featurize,
         synth_media_table,
@@ -1543,12 +1544,12 @@ def _oracle_sql_for(
                           THEN CAST(8 + (num * 7) % 24 AS INT) END AS png_w,
                      CASE WHEN num % 3 = 1
                           THEN CAST(8 + (num * 13) % 24 AS INT) END AS png_h,
-                     -- jpeg SOF dims (num % 3 = 0): the featurizer
-                     -- parses these back out of the real JFIF header
+                     -- jpeg dims (num % 3 = 0): the featurizer gets
+                     -- these from the REAL baseline grayscale decode
                      CASE WHEN num % 3 = 0
-                          THEN CAST(64 + (num * 11) % 512 AS INT) END AS jpg_w,
+                          THEN CAST(16 + (num * 11) % 48 AS INT) END AS jpg_w,
                      CASE WHEN num % 3 = 0
-                          THEN CAST(64 + (num * 17) % 512 AS INT) END AS jpg_h,
+                          THEN CAST(16 + (num * 17) % 48 AS INT) END AS jpg_h,
                      -- webm EBML video-track dims (num % 3 = 2): parsed
                      -- back out of the real Matroska header
                      CASE WHEN num % 3 = 2
@@ -1573,12 +1574,29 @@ def _oracle_sql_for(
               JOIN generate_series(0, 30) y(y) ON y.y < d.png_h
               CROSS JOIN generate_series(0, 2) c(c)
               GROUP BY d.media_ref
+            ), jpix AS (
+              -- jpeg decoded-pixel checksum from first principles:
+              -- flat 8x8 blocks, pixel(x,y) = ((x//8)*7 + (y//8)*13 +
+              -- num) % 256 — the baseline encode→decode loop is
+              -- bit-exact for flat blocks with unit quantization, so
+              -- the SQL side never needs any JPEG code
+              SELECT d.media_ref,
+                     CAST(sum(((x.x // 8) * 7 + (y.y // 8) * 13 + d.num) % 256)
+                          AS BIGINT) AS pix_sum
+              FROM dims d
+              JOIN generate_series(0, 62) x(x) ON x.x < d.jpg_w
+              JOIN generate_series(0, 62) y(y) ON y.y < d.jpg_h
+              GROUP BY d.media_ref
             )
             SELECT dims.media_ref,
                    CAST(8 AS INT) AS feat_dim,
-                   png_w, png_h, pix.pix_sum, jpg_w, jpg_h, webm_w, webm_h,
+                   png_w, png_h,
+                   coalesce(pix.pix_sum, jpix.pix_sum) AS pix_sum,
+                   jpg_w, jpg_h, webm_w, webm_h,
                    CAST(1 AS INT) AS meta_ok
-            FROM dims LEFT JOIN pix ON dims.media_ref = pix.media_ref
+            FROM dims
+            LEFT JOIN pix ON dims.media_ref = pix.media_ref
+            LEFT JOIN jpix ON dims.media_ref = jpix.media_ref
         """,
         "q46_boilerplate_strip": """
             SELECT doc_id, text AS main_text

@@ -108,8 +108,26 @@ def _png_dims(num: int) -> tuple[int, int]:
 
 def _jpeg_dims_for(num: int) -> tuple[int, int]:
     """Claimed-and-encoded jpeg dims — closed-form in the ref number so
-    the q29 oracle recomputes them without any JPEG code."""
-    return 64 + (num * 11) % 512, 64 + (num * 17) % 512
+    the q29 oracle recomputes them without any JPEG code. Small like the
+    PNG dims (the decode runs per-block in Python), and deliberately NOT
+    multiples of 8 for most refs so MCU padding + crop is exercised."""
+    return 16 + (num * 11) % 48, 16 + (num * 17) % 48
+
+
+def _jpeg_block_value(num: int, bx: int, by: int) -> int:
+    """Gray level of 8x8 block (bx, by): flat blocks make the baseline
+    encode→decode loop bit-exact (unit quant ⇒ AC quantizes to exactly
+    0, DC path integer) — so pixel(x, y) = value(x//8, y//8) is
+    closed-form arithmetic both the synth and the SQL oracle evaluate."""
+    return (bx * 7 + by * 13 + num) % 256
+
+
+def _jpeg_pixels(num: int, width: int, height: int) -> bytes:
+    import numpy as np
+
+    bx = (np.arange(width, dtype=np.int64) // 8) * 7
+    by = (np.arange(height, dtype=np.int64) // 8) * 13
+    return ((by[:, None] + bx[None, :] + num) % 256).astype(np.uint8).tobytes()
 
 
 def _webm_dims_for(num: int) -> tuple[int, int, int]:
@@ -165,7 +183,7 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
         import pandas as pd
 
         from ..core.ebml import encode_webm_header
-        from ..core.jpeg import encode_jpeg_header
+        from ..core.jpeg import encode_jpeg_gray
         from ..core.png import encode_png
 
         for pdf in batches:
@@ -179,12 +197,16 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                     content = encode_png(_png_pixels(num, w, h), w, h)
                     meta = {"format": fmt, "width": w, "height": h, "n_frames": 1}
                 elif fmt == "jpeg":
-                    # dims from ref-number arithmetic (not crc) so the
-                    # SQL oracle recomputes them first-principles, like
-                    # the PNG dims
+                    # REAL baseline grayscale JPEG: flat 8x8 blocks with
+                    # ref-arithmetic gray levels, so dims AND decoded
+                    # pixels are SQL-recomputable (bit-exact roundtrip —
+                    # see core/jpeg.py)
                     w, h = _jpeg_dims_for(num)
-                    content = encode_jpeg_header(
-                        w, h, comment=(seed.to_bytes(4, "big") * 16)[:64]
+                    content = encode_jpeg_gray(
+                        _jpeg_pixels(num, w, h),
+                        w,
+                        h,
+                        comment=(seed.to_bytes(4, "big") * 16)[:64],
                     )
                     meta = {"format": fmt, "width": w, "height": h, "n_frames": 1}
                 else:
@@ -217,13 +239,14 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
     from the parsed IHDR, ``pix_sum`` is the sum of decoded RGB bytes
     (the oracle-checkable pixel checksum), and features are per-band
     grayscale means over the actual pixels (``feat_dim`` horizontal
-    bands, /255). jpeg rows parse the REAL SOF frame header
-    (``core/jpeg.py``), webm rows the REAL EBML video-track header
-    (``core/ebml.py``) — width/height come from the byte streams, not
-    the metadata, so a mislabeled row is caught; only pixel/frame
-    decode stays stubbed (crc-chain features, ``pix_sum`` null — no
-    entropy/VP8 decoder in this container). The Arrow batch plumbing is
-    exactly what a real codec would plug into.
+    bands, /255). jpeg rows run the REAL baseline grayscale decode
+    (``core/jpeg.py``: Huffman, dequant, IDCT) — dims, ``pix_sum`` and
+    band features come from the decoded pixels; scan-less/color streams
+    degrade to SOF header dims, then to metadata. webm rows parse the
+    REAL EBML video-track header (``core/ebml.py``) for dims; VP8
+    payload decode stays stubbed (crc-chain features, ``pix_sum``
+    null). The Arrow batch plumbing is exactly what a full codec stack
+    would plug into.
     """
     use_real = _have_pillow()
 
@@ -232,7 +255,7 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
         import pandas as pd
 
         from ..core.ebml import EBML_MAGIC, webm_dims
-        from ..core.jpeg import JPEG_SOI, jpeg_dims
+        from ..core.jpeg import JPEG_SOI, decode_jpeg_gray, jpeg_dims
         from ..core.png import PNG_SIGNATURE, decode_png
 
         for pdf in batches:
@@ -263,13 +286,31 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
                     ]
                     rows.append((ref, w, h, feats, int(arr.sum())))
                     continue
-                # JPEG/webm: real header parse (SOF dims / EBML video
-                # track — verifies claimed meta against bytes); pixels
-                # and frames stay stubbed. A malformed/truncated stream
-                # falls through to the meta-dims stub path, never
-                # crashes.
-                jdims = None
                 raw = bytes(content)
+                # JPEG: real baseline grayscale decode (pix_sum + band
+                # features over decoded pixels); scan-less or color
+                # streams degrade to SOF header dims, then to meta.
+                if raw.startswith(JPEG_SOI):
+                    try:
+                        jw, jh, gray_bytes = decode_jpeg_gray(raw)
+                        garr = np.frombuffer(gray_bytes, dtype=np.uint8).reshape(
+                            jh, jw
+                        )
+                        bands = np.array_split(
+                            garr.astype(np.float64), feat_dim, axis=0
+                        )
+                        feats = [
+                            float(b.mean() / 255.0) if b.size else 0.0
+                            for b in bands
+                        ]
+                        rows.append((ref, jw, jh, feats, int(garr.sum())))
+                        continue
+                    except (ValueError, NotImplementedError):
+                        pass
+                # webm: real EBML video-track dims; VP8 payloads stay
+                # stubbed. Malformed streams fall to the meta-dims stub
+                # path, never crash.
+                jdims = None
                 if raw.startswith(JPEG_SOI):
                     try:
                         jdims = jpeg_dims(raw)
@@ -342,13 +383,13 @@ def resize_media(
     step; reference `donut/model.py:188-218` resize/pad).
 
     PNG rows run a REAL decode → nearest-neighbor resize → re-encode
-    (``core/png.py``), so the output content is a valid PNG of the
-    target dimensions. jpeg/webm rows re-emit a REAL header at the
-    TARGET dimensions (``core/jpeg.py`` / ``core/ebml.py``) carrying a
-    seed-derived payload whose LENGTH scales with the target area — so
-    chained operations (resize → featurize) still header-verify, and
-    batch-shape/memory behavior track a real resize; only the pixel
-    transcode is absent (no codec in this container). The Spark
+    (``core/png.py``); jpeg rows likewise run the REAL baseline
+    grayscale transcode (``core/jpeg.py``: decode → nearest resample →
+    re-encode) — the outputs are valid images of the target dimensions.
+    webm rows re-emit a REAL EBML header at the TARGET dimensions with
+    a seed-derived payload whose LENGTH scales with the target area
+    (no VP8 transcode in this container), so chained operations
+    (resize → featurize) still verify dims from bytes. The Spark
     plumbing — one Arrow batch in, one out, bounded rows per batch,
     binary column through — is the real contract either way."""
     use_real = _have_pillow()
@@ -356,8 +397,15 @@ def resize_media(
     def rz(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        import numpy as np
+
         from ..core.ebml import EBML_MAGIC, encode_webm_header
-        from ..core.jpeg import JPEG_SOI, encode_jpeg_header
+        from ..core.jpeg import (
+            JPEG_SOI,
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+            encode_jpeg_header,
+        )
         from ..core.png import PNG_SIGNATURE, decode_png, encode_png, resize_nearest
 
         for pdf in batches:
@@ -380,6 +428,27 @@ def resize_media(
                         (ref, encode_png(resized, width, height), width, height)
                     )
                     continue
+                if raw.startswith(JPEG_SOI):
+                    # REAL grayscale transcode: decode → nearest → encode
+                    try:
+                        jw, jh, gray = decode_jpeg_gray(raw)
+                        arr = np.frombuffer(gray, dtype=np.uint8).reshape(jh, jw)
+                        ys = (np.arange(height) * jh) // height
+                        xs = (np.arange(width) * jw) // width
+                        resized_g = arr[ys][:, xs]
+                        rows.append(
+                            (
+                                ref,
+                                encode_jpeg_gray(
+                                    resized_g.tobytes(), width, height
+                                ),
+                                width,
+                                height,
+                            )
+                        )
+                        continue
+                    except (ValueError, NotImplementedError):
+                        pass  # scan-less/color jpeg: header-real fallback
                 if use_real:  # pragma: no cover - container has no PIL
                     raise NotImplementedError(
                         "real jpeg/video resize: PIL.Image.open(content)"

@@ -53,13 +53,19 @@ def test_encoder_validates_dims():
         encode_jpeg_header(70000, 10)
 
 
-def test_synth_jpeg_rows_header_verified(spark):
-    """synth_media_table's jpeg rows carry a real JFIF header whose SOF
-    dims equal the claimed metadata — and decode_and_featurize's
-    width/height come from the PARSED bytes, not the meta struct."""
+def test_synth_jpeg_rows_decoded_for_real(spark):
+    """synth_media_table's jpeg rows are COMPLETE baseline grayscale
+    JPEGs: header dims match claimed metadata, the full decode
+    reproduces the flat-block pixels bit-exactly, and
+    decode_and_featurize's width/height/pix_sum come from the decoded
+    bytes, not the meta struct."""
+    import numpy as np
     from pyspark.sql import functions as F
 
+    from donut_spark.core.jpeg import decode_jpeg_gray
     from donut_spark.operators.multimodal import (
+        _jpeg_pixels,
+        _ref_num,
         decode_and_featurize,
         synth_media_table,
     )
@@ -74,6 +80,10 @@ def test_synth_jpeg_rows_header_verified(spark):
     assert rows, "fixture contains no jpeg refs below doc 60"
     for r in rows:
         assert jpeg_dims(bytes(r.content)) == (r.meta.width, r.meta.height)
+        w, h, gray = decode_jpeg_gray(bytes(r.content))
+        assert (w, h) == (r.meta.width, r.meta.height)
+        # bit-exact roundtrip of the flat-block generation arithmetic
+        assert gray == _jpeg_pixels(_ref_num(r.media_ref), w, h)
     feats = (
         decode_and_featurize(media)
         .join(jpegs.select("media_ref", "meta"), "media_ref")
@@ -81,4 +91,71 @@ def test_synth_jpeg_rows_header_verified(spark):
     )
     for r in feats:
         assert (r.width, r.height) == (r.meta.width, r.meta.height)
-        assert r.pix_sum is None  # pixels stay stubbed for jpeg
+        expected = np.frombuffer(
+            _jpeg_pixels(_ref_num(r.media_ref), r.width, r.height), dtype=np.uint8
+        )
+        assert r.pix_sum == int(expected.astype(np.int64).sum())
+
+
+def test_gray_codec_roundtrip_flat_blocks_exact():
+    """Unit quant + flat 8x8 blocks: encode→decode is BIT-exact (the
+    property the q29 oracle leans on), including non-multiple-of-8 dims
+    (MCU pad + crop)."""
+    import numpy as np
+
+    from donut_spark.core.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    for w, h in ((16, 16), (17, 23), (63, 19), (8, 8), (9, 9)):
+        img = np.zeros((h, w), dtype=np.uint8)
+        for by in range((h + 7) // 8):
+            for bx in range((w + 7) // 8):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    bx * 7 + by * 13 + 200
+                ) % 256
+        data = encode_jpeg_gray(img[:h, :w].tobytes(), w, h)
+        W, H, gray = decode_jpeg_gray(data)
+        assert (W, H) == (w, h)
+        assert gray == img[:h, :w].tobytes()
+
+
+def test_gray_codec_roundtrip_arbitrary_within_one():
+    """Arbitrary content: unit quantization keeps the only loss at DCT
+    float rounding — every pixel within ±1."""
+    import numpy as np
+
+    from donut_spark.core.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (21, 34), dtype=np.uint8)
+    _, _, gray = decode_jpeg_gray(encode_jpeg_gray(img.tobytes(), 34, 21))
+    got = np.frombuffer(gray, dtype=np.uint8).reshape(21, 34).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 1
+
+
+def test_gray_codec_rejects_malformed():
+    import numpy as np
+
+    from donut_spark.core.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    good = encode_jpeg_gray(img.tobytes(), 8, 8)
+    # scan-less 3-component header (the resize fallback shape): the
+    # color path is the one honest NotImplementedError left
+    with pytest.raises(NotImplementedError, match="single-component"):
+        decode_jpeg_gray(encode_jpeg_header(8, 8))
+    # single-component but no scan: everything up to (not including) SOS
+    with pytest.raises(ValueError, match="missing SOF or SOS"):
+        decode_jpeg_gray(good[: good.index(b"\xff\xda")] + b"\xff\xd9")
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(good[: len(good) - 4] )
+    # corrupt a scan byte: either an invalid Huffman code or a stream
+    # error — always ValueError, never a crash
+    bad = bytearray(good)
+    bad[-5] ^= 0x5A
+    try:
+        decode_jpeg_gray(bytes(bad))
+    except ValueError:
+        pass
+    with pytest.raises(ValueError, match="length"):
+        encode_jpeg_gray(b"\x00" * 10, 8, 8)
