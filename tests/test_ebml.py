@@ -152,3 +152,23 @@ def test_sample_frames_demuxes_real_blocks(spark):
         seed = zlib.crc32(ref.encode())
         for r in rows:
             assert bytes(r.content) == _frame_payload(seed, r.frame_idx)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_ebml_parsers_never_crash_on_garbage(data):
+    """Adversarial bytes (raw, and wrapped in valid EBML magic) must
+    always raise ValueError from webm_dims/webm_frames — never an
+    unguarded exception class — per the poison-row contract."""
+    from donut_spark.core.ebml import EBML_MAGIC, webm_dims, webm_frames
+
+    for blob in (data, EBML_MAGIC + data):
+        for fn in (webm_dims, webm_frames):
+            try:
+                fn(blob)
+            except ValueError:
+                pass

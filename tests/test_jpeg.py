@@ -1,9 +1,11 @@
-"""core/jpeg.py — JPEG marker-segment header codec (ITU-T T.81 / JFIF).
+"""core/jpeg.py — JPEG layer (ITU-T T.81 / JFIF): marker parsing,
+scan-less header emission, and the COMPLETE baseline grayscale codec.
 
-Header-only by design: the container has no entropy decoder, so the
-codec's job is verifiable SOF dimensions (encode → parse roundtrip) and
-a clean ValueError contract on malformed streams (the multimodal
-poison-row discipline)."""
+Covered here: SOF dims roundtrips, the full encode→decode pixel loop
+(bit-exact for flat blocks, ±1 for arbitrary content, property-fuzzed),
+the DHT/entropy/MCU edge cases, and the ValueError/NotImplementedError
+contract on malformed or color streams (the multimodal poison-row
+discipline)."""
 
 import pytest
 
@@ -159,3 +161,43 @@ def test_gray_codec_rejects_malformed():
         pass
     with pytest.raises(ValueError, match="length"):
         encode_jpeg_gray(b"\x00" * 10, 8, 8)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gray_codec_roundtrip_fuzz(w, h, seed):
+    """Property fuzz over arbitrary images and dims (incl. 1-pixel and
+    non-multiple-of-8 edges): decode(encode(img)) stays within ±1 of
+    the source everywhere, and dims survive exactly."""
+    import numpy as np
+
+    from donut_spark.core.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    W, H, gray = decode_jpeg_gray(encode_jpeg_gray(img.tobytes(), w, h))
+    assert (W, H) == (w, h)
+    got = np.frombuffer(gray, dtype=np.uint8).reshape(h, w).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_gray_decoder_never_crashes_on_garbage(data):
+    """Adversarial bytes (raw, and wrapped in a valid SOI) must always
+    raise ValueError/NotImplementedError — never IndexError/struct
+    errors/OverflowError — per the poison-row contract."""
+    from donut_spark.core.jpeg import decode_jpeg_gray
+
+    for blob in (data, b"\xff\xd8" + data):
+        try:
+            decode_jpeg_gray(blob)
+        except (ValueError, NotImplementedError):
+            pass
