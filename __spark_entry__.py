@@ -118,13 +118,37 @@ def q04_multi_join(spark, sf):
 
 
 def q05_topk(spark, sf):
-    """O5/A3: top-k with deterministic tiebreak."""
-    return (
+    """O5/A3 arg-max family, consolidated (round-5): top-k orders by
+    price with deterministic tiebreak, UNIONed with the reference's
+    data-sanity arg-max sweep (`check_max_length_tokens.py:64-79`) —
+    the longest linearized token sequences over the corpus. The token
+    side's oracle recomputes each length ANALYTICALLY from the gt_parse
+    tag algebra (json2token never runs on the SQL side)."""
+    from donut_spark.functions.udfs import json2token_udf
+    from donut_spark.sources.fixtures import load_spans
+
+    top = (
         _sf(sf)(spark, "orders")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .select(
+            F.lit("order_price").alias("family"),
+            F.col("o_orderkey").cast("string").alias("k"),
+            F.round("o_totalprice", 2).cast("double").alias("val"),
+        )
     )
+    tok = (
+        load_spans(spark, sf)
+        .select("doc_id", F.length(json2token_udf("gt_parse")).alias("token_len"))
+        .orderBy(F.desc("token_len"), F.asc("doc_id"))
+        .limit(5)
+        .select(
+            F.lit("token_len").alias("family"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.col("token_len").cast("double").alias("val"),
+        )
+    )
+    return top.unionByName(tok)
 
 
 def q06_distinct_sort(spark, sf):
@@ -175,13 +199,29 @@ def q10_antijoin(spark, sf):
 
 
 def q11_bucket_histogram(spark, sf):
-    """A8: decile-style bucketing + counts."""
-    e = _sf(sf)(spark, "events")
-    return (
-        e.withColumn("bucket", F.floor(F.col("value") / 10).cast("long"))
+    """A8 bucketing family, consolidated (round-5): decile histogram
+    over events UNIONed with constant-folded CASE price bands over
+    orders (the former q34) — one driver row keeps both assertions."""
+    hist = (
+        _sf(sf)(spark, "events")
+        .withColumn("bucket", F.floor(F.col("value") / 10).cast("long").cast("string"))
         .groupBy("bucket")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_metric"))
+        .select(F.lit("value_decile").alias("family"), "bucket", "n", "avg_metric")
     )
+    bands = (
+        _sf(sf)(spark, "orders")
+        .withColumn(
+            "bucket",
+            F.when(F.col("o_totalprice") < 50_000, "low")
+            .when(F.col("o_totalprice") < 150_000, "mid")
+            .otherwise("high"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_metric"))
+        .select(F.lit("price_band").alias("family"), "bucket", "n", "avg_metric")
+    )
+    return hist.unionByName(bands)
 
 
 def q12_edit_distance(spark, sf):
@@ -223,16 +263,6 @@ def q15_exact_dup_clusters(spark, sf):
         d.groupBy(F.md5(F.col("text")).alias("fp"))
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_dups") > 1)
-    )
-
-
-def q16_first_word(spark, sf):
-    """Projection/scalar string ops: first-token distribution."""
-    d = _sf(sf)(spark, "documents")
-    return (
-        d.withColumn("w", F.split(F.col("text"), " ").getItem(0))
-        .groupBy("w")
-        .agg(F.count("*").alias("n"))
     )
 
 
@@ -329,32 +359,32 @@ def q33_rollup(spark, sf):
     )
 
 
-def q34_case_bands(spark, sf):
-    """Constant-folded CASE bucketing (A8 variant)."""
-    o = _sf(sf)(spark, "orders")
-    return (
-        o.withColumn(
-            "band",
-            F.when(F.col("o_totalprice") < 50_000, "low")
-            .when(F.col("o_totalprice") < 150_000, "mid")
-            .otherwise("high"),
-        )
-        .groupBy("band")
-        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
-    )
-
-
 def q35_string_funcs(spark, sf):
-    """Scalar string-function chain (T5/T9 regex-chain analogue)."""
-    p = _sf(sf)(spark, "part")
-    return (
-        p.withColumn("token", F.upper(F.substring("p_name", 1, 3)))
-        .groupBy("token")
+    """Scalar string-function family, consolidated (round-5): the
+    upper/substring/length chain over part (T5/T9 regex-chain analogue)
+    UNIONed with the first-token distribution over documents (the
+    former q16) — one driver row keeps both assertions."""
+    chain = (
+        _sf(sf)(spark, "part")
+        .withColumn("key", F.upper(F.substring("p_name", 1, 3)))
+        .groupBy("key")
         .agg(
             F.count("*").alias("n"),
             F.round(F.avg(F.length("p_name")), 4).alias("avg_len"),
         )
+        .select(F.lit("part_token").alias("family"), "key", "n", "avg_len")
     )
+    first_word = (
+        _sf(sf)(spark, "documents")
+        .withColumn("key", F.split(F.col("text"), " ").getItem(0))
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        )
+        .select(F.lit("doc_first_word").alias("family"), "key", "n", "avg_len")
+    )
+    return chain.unionByName(first_word)
 
 
 def q39_resume_antifilter(spark, sf):
@@ -499,15 +529,26 @@ def q25_simhash_dedup(spark, sf):
 
 
 def q26_jaccard_verify(spark, sf):
-    """Exact n-gram Jaccard verification of LSH candidates (uncapped
-    candidates, matching the oracle's uncapped banding — see q24)."""
+    """N-gram Jaccard family, consolidated (round-5): exact Jaccard
+    verification of LSH candidates (uncapped candidates, matching the
+    oracle's uncapped banding — see q24) UNIONed with the all-pairs
+    exact Jaccard sweep on a bounded slice (the former q43) — both
+    modes of `dedup.ngram_jaccard_pairs` in one driver row."""
     from donut_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     d = _sf(sf)(spark, "documents")
     cands = minhash_lsh_pairs(d, max_bucket_size=None)
-    return ngram_jaccard_pairs(d, threshold=0.5, candidates=cands).withColumn(
-        "jaccard", F.round("jaccard", 6)
+    cand_side = (
+        ngram_jaccard_pairs(d, threshold=0.5, candidates=cands)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .select(F.lit("candidate").alias("mode"), "a", "b", "jaccard")
     )
+    exact_side = (
+        ngram_jaccard_pairs(d.filter(F.col("doc_id") < 120), n=3, threshold=0.3)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .select(F.lit("exact").alias("mode"), "a", "b", "jaccard")
+    )
+    return cand_side.unionByName(exact_side)
 
 
 def q27_ann_topk(spark, sf):
@@ -667,36 +708,6 @@ def q40_synth_tables(spark, sf):
             F.col("stats.nums_col").alias("nums_col"),
             "teds_self",
         )
-    )
-
-
-def q43_jaccard_exact(spark, sf):
-    """Exact word-trigram Jaccard pairs, all-pairs on a bounded slice —
-    oracle-backed by an independent DuckDB list/lambda reimplementation
-    of the shingle → self-join → |A∩B|/|A∪B| pipeline."""
-    from donut_spark.operators.dedup import ngram_jaccard_pairs
-
-    d = _sf(sf)(spark, "documents").filter(F.col("doc_id") < 120)
-    return ngram_jaccard_pairs(d, n=3, threshold=0.3).withColumn(
-        "jaccard", F.round("jaccard", 6)
-    )
-
-
-def q44_max_token_len(spark, sf):
-    """The reference's data-sanity sweep (`check_max_length_tokens.py:
-    64-79`): arg-max of linearized token-sequence length over the corpus.
-    Oracle-backed: DuckDB recomputes each length ANALYTICALLY from the
-    gt_parse JSON (tag algebra of json2token), never running the kernel."""
-    from donut_spark.functions.udfs import json2token_udf
-    from donut_spark.sources.fixtures import load_spans
-
-    spans = load_spans(spark, sf)
-    return (
-        spans.select(
-            "doc_id", F.length(json2token_udf("gt_parse")).alias("token_len")
-        )
-        .orderBy(F.desc("token_len"), F.asc("doc_id"))
-        .limit(5)
     )
 
 
@@ -1066,17 +1077,15 @@ def q47_neardup_clusters(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's correctness gate executes (at
-    # most) the first 50 entries (CORRECTNESS_r02/r03 both stop at 50),
-    # so the algorithmically intricate queries with the most bug surface
-    # (PQ q51, contamination q52, IVF-ADC q53/q54) sit INSIDE the
-    # window, and four trivial variants of already-multiply-covered
-    # families sit at the tail: q16_first_word / q35_string_funcs
-    # (string-func family: q13 covers T11/F8, q31/q46 cover tag strip),
-    # q34_case_bands (bucketing family: q11 is the histogram row), and
-    # q44_max_token_len (arg-max family A3: q05 + q18 remain green
-    # driver rows). All 54 stay registered for the local mirror
-    # (tools/check_oracles.py) and pytest.
+    # Exactly 50 registered queries — the driver's correctness gate
+    # executes (at most) the first 50 entries, so EVERY registered query
+    # gets a driver row (round-5 consolidation, per the round-4 advice:
+    # no curation of which queries the gate sees). The four former tail
+    # variants were folded into their families as tagged unions:
+    # q16_first_word → q35_string_funcs, q34_case_bands →
+    # q11_bucket_histogram, q43_jaccard_exact → q26_jaccard_verify,
+    # q44_max_token_len → q05_topk. Each fold keeps both assertions
+    # (distinct `family`/`mode` tag per constituent result set).
     return {
         "q01_filter_project": q01_filter_project,
         "q02_group_agg": q02_group_agg,
@@ -1117,7 +1126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_synth_tables": q40_synth_tables,
         "q41_ann_ivf": q41_ann_ivf,
         "q42_embedding_neardup": q42_embedding_neardup,
-        "q43_jaccard_exact": q43_jaccard_exact,
         "q45_multi_gt": q45_multi_gt,
         "q46_boilerplate_strip": q46_boilerplate_strip,
         "q47_neardup_clusters": q47_neardup_clusters,
@@ -1128,12 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_contamination": q52_contamination,
         "q53_ann_ivfadc": q53_ann_ivfadc,
         "q54_ann_ivfadc_pruned": q54_ann_ivfadc_pruned,
-        # --- tail: trivial family variants rotated past the driver's
-        # 50-row window (see the ordering note above) ---
-        "q16_first_word": q16_first_word,
-        "q34_case_bands": q34_case_bands,
         "q35_string_funcs": q35_string_funcs,
-        "q44_max_token_len": q44_max_token_len,
     }
 
 
@@ -1205,9 +1208,35 @@ def _oracle_sql_for(
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
         """,
-        "q05_topk": """
-            SELECT o_orderkey, round(o_totalprice, 2) AS price
-            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        # arg-max family: price top-10 UNION the analytic token-length
+        # arg-max (len = |<s_doc></s_doc><s_title></s_title><s_items>
+        # </s_items>| (53) + len(title) + Σ items (28 tag chars +
+        # len(nm) + len(cnt)) + 6·(n_items − 1) separators — json2token
+        # never runs on this side).
+        "q05_topk": f"""
+            SELECT * FROM (
+              SELECT 'order_price' AS family, CAST(o_orderkey AS VARCHAR) AS k,
+                     round(o_totalprice, 2) AS val
+              FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+            )
+            UNION ALL
+            SELECT * FROM (
+              WITH t AS (
+                SELECT doc_id,
+                  json_extract_string(gt_parse, '$.doc.title') AS title,
+                  from_json(json_extract(gt_parse, '$.doc.items'),
+                            '[{{"nm":"VARCHAR","cnt":"VARCHAR"}}]') AS items
+                FROM read_parquet('{fx}')
+              )
+              SELECT 'token_len' AS family, CAST(doc_id AS VARCHAR) AS k,
+                CAST(53 + length(title)
+                   + list_sum(list_transform(items,
+                         x -> 28 + length(x.nm) + length(x.cnt)))
+                   + 6 * (len(items) - 1) AS DOUBLE) AS val
+              FROM t
+              ORDER BY val DESC, doc_id
+              LIMIT 5
+            )
         """,
         "q06_distinct_sort": """
             SELECT DISTINCT p_brand FROM part ORDER BY p_brand
@@ -1234,8 +1263,17 @@ def _oracle_sql_for(
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "q11_bucket_histogram": """
-            SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, count(*) AS n
-            FROM events GROUP BY 1
+            SELECT 'value_decile' AS family,
+                   CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR) AS bucket,
+                   count(*) AS n, round(avg(value), 4) AS avg_metric
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'price_band' AS family,
+                   CASE WHEN o_totalprice < 50000 THEN 'low'
+                        WHEN o_totalprice < 150000 THEN 'mid'
+                        ELSE 'high' END AS bucket,
+                   count(*) AS n, round(avg(o_totalprice), 2) AS avg_metric
+            FROM orders GROUP BY 2
         """,
         "q12_edit_distance": """
             SELECT c_custkey,
@@ -1259,10 +1297,6 @@ def _oracle_sql_for(
         "q15_exact_dup_clusters": """
             SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
             FROM documents GROUP BY 1 HAVING count(*) > 1
-        """,
-        "q16_first_word": """
-            SELECT string_split(text, ' ')[1] AS w, count(*) AS n
-            FROM documents GROUP BY 1
         """,
         "q17_skip_limit": """
             SELECT o_orderkey, o_orderstatus FROM orders
@@ -1307,18 +1341,16 @@ def _oracle_sql_for(
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
-        "q34_case_bands": """
-            SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
-                        WHEN o_totalprice < 150000 THEN 'mid'
-                        ELSE 'high' END AS band,
-                   count(*) AS n,
-                   round(avg(o_totalprice), 2) AS avg_price
-            FROM orders GROUP BY 1
-        """,
         "q35_string_funcs": """
-            SELECT upper(substring(p_name, 1, 3)) AS token, count(*) AS n,
+            SELECT 'part_token' AS family,
+                   upper(substring(p_name, 1, 3)) AS key, count(*) AS n,
                    round(avg(length(p_name)), 4) AS avg_len
-            FROM part GROUP BY 1
+            FROM part GROUP BY 2
+            UNION ALL
+            SELECT 'doc_first_word' AS family,
+                   string_split(text, ' ')[1] AS key, count(*) AS n,
+                   round(avg(length(text)), 4) AS avg_len
+            FROM documents GROUP BY 2
         """,
         "q39_resume_antifilter": """
             SELECT doc_id % 16 AS bucket, count(*) AS n_docs
@@ -1443,34 +1475,9 @@ def _oracle_sql_for(
                    CAST(1.0 AS DOUBLE) AS teds_self
             FROM generate_series(0, 49) t(sid)
         """,
-        # independent reimplementation of the shingle/Jaccard pipeline
-        "q43_jaccard_exact": """
-            WITH words AS (
-              SELECT doc_id AS k, list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                 x -> x <> '') AS w
-              FROM documents WHERE doc_id < 120
-            ), sh AS (
-              SELECT k, unnest(list_distinct(list_filter(
-                  list_transform(generate_series(0, greatest(len(w) - 3, 0)),
-                                 i -> array_to_string(w[i+1:i+3], ' ')),
-                  x -> x <> ''))) AS sh
-              FROM words
-            ), sizes AS (
-              SELECT k, count(*) AS sz FROM sh GROUP BY k
-            ), inter AS (
-              SELECT l.k AS a, r.k AS b, count(*) AS n_inter
-              FROM sh l JOIN sh r ON l.sh = r.sh AND l.k < r.k
-              GROUP BY 1, 2
-            )
-            SELECT a, b,
-                   round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.k = a
-            JOIN sizes sb ON sb.k = b
-            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
-        """,
-        # transitive closure twin: the same Jaccard pair list (see
-        # q43_jaccard_exact) closed into components with a recursive CTE
+        # transitive closure twin: the same Jaccard pair list (see the
+        # exact side of q26_jaccard_verify) closed into components with
+        # a recursive CTE
         "q47_neardup_clusters": """
             WITH RECURSIVE words AS (
               SELECT doc_id AS k, list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -1503,27 +1510,6 @@ def _oracle_sql_for(
             )
             SELECT v AS doc_id, CAST(min(label) AS BIGINT) AS cluster
             FROM reach GROUP BY v
-        """,
-        # analytic token-sequence length from the gt_parse tag algebra:
-        # len = |<s_doc></s_doc><s_title></s_title><s_items></s_items>| (53)
-        #     + len(title) + Σ items (28 tag chars + len(nm) + len(cnt))
-        #     + 6·(n_items − 1) separators — json2token never runs here.
-        "q44_max_token_len": f"""
-            WITH t AS (
-              SELECT doc_id,
-                json_extract_string(gt_parse, '$.doc.title') AS title,
-                from_json(json_extract(gt_parse, '$.doc.items'),
-                          '[{{"nm":"VARCHAR","cnt":"VARCHAR"}}]') AS items
-              FROM read_parquet('{fx}')
-            )
-            SELECT doc_id,
-              CAST(53 + length(title)
-                 + list_sum(list_transform(items,
-                       x -> 28 + length(x.nm) + length(x.cnt)))
-                 + 6 * (len(items) - 1) AS INT) AS token_len
-            FROM t
-            ORDER BY token_len DESC, doc_id
-            LIMIT 5
         """,
         # PNG rows verified for real: the oracle re-derives format
         # choice (num % 3), encoded dimensions (8 + 7num % 24 ×
@@ -1636,11 +1622,14 @@ def _oracle_sql_for(
             JOIN banded r ON l.b = r.b AND l.bv = r.bv AND l.k < r.k
             GROUP BY 1, 2
         """,
-        # LSH-candidate-driven exact-Jaccard verify: banding twin for the
-        # candidate set (see q24), then the independent shingle/Jaccard
-        # SQL of q43 restricted to candidate endpoints — exactly the
-        # candidate-driven join shape the Spark operator uses at scale.
+        # N-gram Jaccard family, both modes. Candidate mode: banding twin
+        # for the candidate set (see q24), then an independent
+        # shingle/Jaccard reimplementation restricted to candidate
+        # endpoints — exactly the candidate-driven join shape the Spark
+        # operator uses at scale. Exact mode: the same shingle/Jaccard
+        # SQL as an uncandidated all-pairs sweep on a bounded slice.
         "q26_jaccard_verify": f"""
+            SELECT * FROM (
             WITH banded AS (
               SELECT doc_id AS k, b, minhash_sig[b*4+1 : b*4+4] AS bv
               FROM read_parquet('{fp}'), generate_series(0, 15) t(b)
@@ -1669,12 +1658,39 @@ def _oracle_sql_for(
               JOIN sh r ON r.k = c.b AND r.sh = l.sh
               GROUP BY 1, 2
             )
-            SELECT a, b,
+            SELECT 'candidate' AS mode, a, b,
                    round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
             FROM inter
             JOIN sizes sa ON sa.k = a
             JOIN sizes sb ON sb.k = b
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+            )
+            UNION ALL
+            SELECT * FROM (
+            WITH words AS (
+              SELECT doc_id AS k, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents WHERE doc_id < 120
+            ), sh AS (
+              SELECT k, unnest(list_distinct(list_filter(
+                  list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+                                 i -> array_to_string(w[i+1:i+3], ' ')),
+                  x -> x <> ''))) AS sh
+              FROM words
+            ), sizes AS (
+              SELECT k, count(*) AS sz FROM sh GROUP BY k
+            ), inter AS (
+              SELECT l.k AS a, r.k AS b, count(*) AS n_inter
+              FROM sh l JOIN sh r ON l.sh = r.sh AND l.k < r.k
+              GROUP BY 1, 2
+            )
+            SELECT 'exact' AS mode, a, b,
+                   round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.k = a
+            JOIN sizes sb ON sb.k = b
+            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
+            )
         """,
         # Full SRP-LSH replica (signatures → bands → candidate buckets →
         # exact rerank) from the committed hyperplane fixture: sig bit =
