@@ -152,6 +152,13 @@ def webm_frames(data: bytes) -> list:
                 _, tn = _read_size(b, i)  # track number is a plain vint
                 if size < tn + 3:
                     raise ValueError("malformed SimpleBlock header")
+                flags = b[i + tn + 2]
+                if flags & 0x06:
+                    # EBML/Xiph/fixed lacing packs several laced frames
+                    # into one block; mis-reporting them as one payload
+                    # would be a silent wrong answer — take the
+                    # poison-row fallback instead (round-4 advice)
+                    raise ValueError("laced SimpleBlock unsupported")
                 rel = int.from_bytes(b[i + tn : i + tn + 2], "big", signed=True)
                 frames.append((ts + rel, b[i + tn + 3 : i + size]))
             elif eid in (_SEGMENT, _CLUSTER):

@@ -7,13 +7,15 @@ meta struct<format,width,height,n_frames>)`` joined to span tables on
 ``media_ref``. The Spark-side plumbing here — schemas, partitioning,
 ``mapInPandas`` batch shape, join strategy — is real and tested.
 
-Codecs: **PNG rows are REAL end-to-end** — the synthetic media table
-encodes actual truecolor PNG bytes (``core/png.py``, pure zlib), and
-decode/featurize/resize run a real parse → unfilter → pixel pipeline
-whose decoded dimensions and pixel checksums are verified against an
-independent SQL oracle (q29). JPEG/video codecs are NOT available in
-this container and stay stubbed behind ``try: import`` with a
-deterministic fake, clearly marked.
+Codecs: **all three formats are REAL end-to-end.** PNG rows carry
+actual truecolor PNGs (``core/png.py``, pure zlib) and decode through
+a real parse → unfilter → pixel pipeline; JPEG rows carry real
+baseline grayscale JPEGs (``core/jpeg.py`` — full DCT/quant/Huffman);
+webm rows carry real EBML/Matroska containers (``core/ebml.py``) whose
+SimpleBlocks hold REAL VP8 key frames at the key-frame cadence
+(``core/vp8.py`` — bool decoder, token decode, IWHT/IDCT, intra
+prediction). Decoded dimensions and pixel checksums for every format
+are verified against an independent SQL oracle (q29).
 """
 
 from __future__ import annotations
@@ -42,8 +44,11 @@ __all__ = [
     "join_spans_with_media",
     "resize_media",
     "sample_frames",
+    "decode_frames",
     "RESIZED_SCHEMA",
     "FRAME_SCHEMA",
+    "FRAME_PIXELS_SCHEMA",
+    "VP8_KEY_EVERY",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -136,11 +141,37 @@ def _webm_dims_for(num: int) -> tuple[int, int, int]:
     return 64 + (num * 23) % 512, 64 + (num * 29) % 512, 1 + (num * 7) % 120
 
 
-def _frame_payload(seed: int, idx: int) -> bytes:
-    """Deterministic stub codec payload for frame ``idx`` (crc-chained
-    on the media seed) — what rides inside each Matroska SimpleBlock."""
-    h = zlib.crc32(idx.to_bytes(4, "big"), seed)
-    return (h.to_bytes(4, "big") * 8)[:32]
+#: key-frame cadence of the synth webm streams (a GOP of 10): frame
+#: indices that are multiples of this carry REAL VP8 key frames.
+VP8_KEY_EVERY = 10
+
+
+def _vp8_mb_grid(num: int, idx: int, mb_w: int, mb_h: int) -> list:
+    """Per-macroblock luma constants of frame ``idx`` — closed-form in
+    the ref number so a SQL oracle recomputes decoded pixel sums with
+    no VP8 code: ``v(mx, my) = (7·mx + 13·my + 31·idx + num) mod 256``."""
+    return [
+        [(7 * mx + 13 * my + 31 * idx + num) % 256 for mx in range(mb_w)]
+        for my in range(mb_h)
+    ]
+
+
+def _frame_payload(seed: int, num: int, idx: int, w: int, h: int) -> bytes:
+    """Codec payload for frame ``idx`` of a synth webm stream. Every
+    ``VP8_KEY_EVERY``-th frame is a REAL VP8 key frame
+    (``core/vp8.py`` — constant-per-MB luma, bit-exact roundtrip); the
+    frames between them are inter-frame stand-ins whose 3-byte frame
+    tag marks a non-key frame exactly as a real stream's delta frames
+    would (the subset decoder routes them to quarantine)."""
+    from ..core.vp8 import encode_vp8_key_frame
+
+    if idx % VP8_KEY_EVERY == 0:
+        grid = _vp8_mb_grid(num, idx, (w + 15) >> 4, (h + 15) >> 4)
+        return encode_vp8_key_frame(grid, w, h)
+    h32 = zlib.crc32(idx.to_bytes(4, "big"), seed)
+    body = (h32.to_bytes(4, "big") * 8)[:32]
+    # frame tag bit 0 set = inter frame (RFC 6386 §9.1)
+    return bytes((body[0] | 1,)) + body[1:]
 
 
 def _png_pixels(num: int, width: int, height: int) -> bytes:
@@ -161,16 +192,17 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     PNG-format rows (``num % 3 == 1``) carry REAL truecolor PNG bytes
     (``core/png.py``) of small seed-derived dimensions, with metadata
     matching the true encoded dims — so downstream decode is a real
-    codec exercise. jpeg rows (``num % 3 == 0``) carry a REAL JFIF
-    header stream (``core/jpeg.py`` — SOI/APP0/COM/SOF0/EOI) whose SOF
-    dims equal the claimed metadata, so the featurizer's header parse
-    verifies meta against bytes; only the pixel payload stays stubbed
-    (no entropy decoder in this container). webm rows (``num % 3 == 2``)
-    likewise carry a REAL EBML/Matroska header (``core/ebml.py`` —
-    DocType webm, video TrackEntry with PixelWidth/PixelHeight matching
-    the claimed metadata, seeded payload in a Void element); frames/
-    pixels stay stubbed. Everything is derived from the ref string —
-    stable across runs, partitionings, and cluster sizes.
+    codec exercise. jpeg rows (``num % 3 == 0``) carry REAL baseline
+    grayscale JPEGs (``core/jpeg.py`` — flat 8×8 blocks, bit-exact
+    lossy roundtrip) whose decoded dims and pixels the q29 oracle
+    recomputes analytically. webm rows (``num % 3 == 2``) carry a REAL
+    EBML/Matroska container (``core/ebml.py`` — DocType webm, video
+    TrackEntry with PixelWidth/PixelHeight matching the claimed
+    metadata) whose SimpleBlocks hold REAL VP8 key frames at the
+    key-frame cadence (``core/vp8.py`` — constant-per-MB luma, exact
+    roundtrip) and tag-marked inter-frame stand-ins between them.
+    Everything is derived from the ref string — stable across runs,
+    partitionings, and cluster sizes.
     """
     refs = (
         spans_df.select(F.explode("spans").alias("s"))
@@ -212,13 +244,17 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                 else:
                     w, h, n_frames = _webm_dims_for(num)
                     # structurally real Matroska: one SimpleBlock per
-                    # frame (deterministic stub payloads — a real file
-                    # would carry VP8 bitstreams in the same slots)
+                    # frame; every VP8_KEY_EVERY-th payload is a REAL
+                    # VP8 key frame (core/vp8.py), the rest are
+                    # tag-marked inter-frame stand-ins
                     content = encode_webm_header(
                         w,
                         h,
                         payload=(seed.to_bytes(4, "big") * 16)[:64],
-                        frames=[_frame_payload(seed, i) for i in range(n_frames)],
+                        frames=[
+                            _frame_payload(seed, num, i, w, h)
+                            for i in range(n_frames)
+                        ],
                     )
                     meta = {
                         "format": fmt,
@@ -243,10 +279,11 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
     (``core/jpeg.py``: Huffman, dequant, IDCT) — dims, ``pix_sum`` and
     band features come from the decoded pixels; scan-less/color streams
     degrade to SOF header dims, then to metadata. webm rows parse the
-    REAL EBML video-track header (``core/ebml.py``) for dims; VP8
-    payload decode stays stubbed (crc-chain features, ``pix_sum``
-    null). The Arrow batch plumbing is exactly what a full codec stack
-    would plug into.
+    REAL EBML video-track header (``core/ebml.py``) for dims at the
+    container level (``pix_sum`` null here — per-frame pixel decode is
+    :func:`decode_frames`' job over :func:`sample_frames`' output).
+    The Arrow batch plumbing is exactly what a full codec stack would
+    plug into.
     """
     use_real = _have_pillow()
 
@@ -307,9 +344,9 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
                         continue
                     except (ValueError, NotImplementedError):
                         pass
-                # webm: real EBML video-track dims; VP8 payloads stay
-                # stubbed. Malformed streams fall to the meta-dims stub
-                # path, never crash.
+                # webm: real EBML video-track dims (frame pixels are
+                # decode_frames' job). Malformed streams fall to the
+                # meta-dims stub path, never crash.
                 jdims = None
                 if raw.startswith(JPEG_SOI):
                     try:
@@ -372,6 +409,17 @@ FRAME_SCHEMA = StructType(
         StructField("media_ref", StringType()),
         StructField("frame_idx", IntegerType()),
         StructField("content", BinaryType()),
+    ]
+)
+
+FRAME_PIXELS_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pix_sum", LongType()),
+        StructField("is_key", IntegerType()),
     ]
 )
 
@@ -478,10 +526,10 @@ def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
     — the content itself. webm rows run the REAL Matroska demux
     (``core/ebml.py::webm_frames`` walks Cluster/SimpleBlock elements)
     and emit every ``every_n``-th block's codec payload keyed by its
-    container timestamp — only the VP8 payload decode is stubbed (the
-    payloads are the synth's deterministic stand-ins; a real file's
-    would be VP8 bitstreams in the same slots). Malformed streams fall
-    back to the meta-count fake path, never crash."""
+    container timestamp; the synth's payloads at the key-frame cadence
+    are REAL VP8 key frames that :func:`decode_frames` pixel-decodes
+    (``core/vp8.py``). Malformed streams fall back to the meta-count
+    fake path, never crash."""
     use_real = _have_pillow()
 
     def frames(batches: Iterator) -> Iterator:
@@ -522,3 +570,55 @@ def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "content"])
 
     return media_df.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def decode_frames(frames_df: DataFrame) -> DataFrame:
+    """Pixel-decode sampled frame payloads (the step after
+    :func:`sample_frames`): VP8 key frames through the full
+    ``core/vp8.py`` decode (bool decoder → header → token/dequant →
+    IWHT/IDCT → intra prediction → reconstruction), PNG stills through
+    ``core/png.py``, JPEG stills through ``core/jpeg.py``. ``pix_sum``
+    is the decoded-pixel checksum (luma for VP8/JPEG, RGB for PNG) a
+    SQL oracle recomputes from the synth arithmetic. Payloads outside
+    the decodable subset — VP8 inter frames, truncated or corrupt
+    streams — yield a null-dims row with ``is_key = 0`` (the poison-row
+    contract: quarantine, never die)."""
+
+    def dec(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..core.jpeg import JPEG_SOI, decode_jpeg_gray
+        from ..core.png import PNG_SIGNATURE, decode_png
+        from ..core.vp8 import VP8_KEY_START, decode_vp8_key_frame
+
+        for pdf in batches:
+            rows = []
+            for ref, idx, content in zip(
+                pdf["media_ref"], pdf["frame_idx"], pdf["content"]
+            ):
+                raw, idx = bytes(content), int(idx)
+                try:
+                    if raw.startswith(PNG_SIGNATURE):
+                        w, h, rgb = decode_png(raw)
+                        s = int(np.frombuffer(rgb, np.uint8).sum())
+                    elif raw.startswith(JPEG_SOI):
+                        w, h, gray = decode_jpeg_gray(raw)
+                        s = int(np.frombuffer(gray, np.uint8).sum())
+                    elif len(raw) >= 10 and raw[3:6] == VP8_KEY_START:
+                        w, h, luma = decode_vp8_key_frame(raw)
+                        s = int(np.frombuffer(luma, np.uint8).sum())
+                    else:
+                        raise ValueError("undecodable frame payload")
+                    rows.append((ref, idx, w, h, s, 1))
+                except (ValueError, NotImplementedError):
+                    rows.append((ref, idx, None, None, None, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "frame_idx", "width", "height",
+                    "pix_sum", "is_key",
+                ],
+            )
+
+    return frames_df.mapInPandas(dec, schema=FRAME_PIXELS_SCHEMA)

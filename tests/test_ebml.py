@@ -126,8 +126,12 @@ def test_sample_frames_demuxes_real_blocks(spark):
 
     from pyspark.sql import functions as F
 
+    from donut_spark.core.vp8 import vp8_frame_is_key
     from donut_spark.operators.multimodal import (
+        VP8_KEY_EVERY,
         _frame_payload,
+        _ref_num,
+        _webm_dims_for,
         sample_frames,
         synth_media_table,
     )
@@ -146,12 +150,21 @@ def test_sample_frames_demuxes_real_blocks(spark):
     by_ref: dict = {}
     for r in out:
         by_ref.setdefault(r.media_ref, []).append(r)
+    n_key = 0
     for ref, n_frames in webms.items():
         rows = sorted(by_ref[ref], key=lambda r: r.frame_idx)
         assert [r.frame_idx for r in rows] == list(range(0, n_frames, 7))
-        seed = zlib.crc32(ref.encode())
+        seed, num = zlib.crc32(ref.encode()), _ref_num(ref)
+        w, h, _n = _webm_dims_for(num)
         for r in rows:
-            assert bytes(r.content) == _frame_payload(seed, r.frame_idx)
+            payload = bytes(r.content)
+            assert payload == _frame_payload(seed, num, r.frame_idx, w, h)
+            # key-frame cadence is observable from the frame tag alone
+            assert vp8_frame_is_key(payload) == (
+                r.frame_idx % VP8_KEY_EVERY == 0
+            )
+            n_key += r.frame_idx % VP8_KEY_EVERY == 0
+    assert n_key > 0
 
 
 from hypothesis import given, settings
