@@ -585,12 +585,18 @@ def q29_multimodal(spark, sf):
     lossy-format roundtrip is provably bit-exact), the featurizer runs
     the full Huffman+dequant+IDCT decode, and the oracle recomputes
     decoded dims AND the pixel checksum from the block arithmetic with
-    no JPEG code on the SQL side. webm rows parse the REAL EBML
-    video-track header for dims (VP8 payloads stay stubbed — the one
-    codec this container can't verify). meta_ok pins parsed == claimed
-    for every format."""
+    no JPEG code on the SQL side. webm rows are now verified to the
+    PIXEL level too (round-5): the Matroska container demuxes through
+    core/ebml.py, every sampled SimpleBlock payload is a REAL VP8 key
+    frame that decode_frames pixel-decodes through core/vp8.py, and the
+    oracle recomputes each frame's luma checksum from the MB-constant
+    arithmetic — no VP8 code on the SQL side (the constant-per-MB
+    regime makes the lossy roundtrip bit-exact). meta_ok pins parsed ==
+    claimed for every format."""
     from donut_spark.operators.multimodal import (
         decode_and_featurize,
+        decode_frames,
+        sample_frames,
         synth_media_table,
     )
     from donut_spark.sources.fixtures import load_spans
@@ -598,6 +604,16 @@ def q29_multimodal(spark, sf):
     spans = load_spans(spark, sf).filter(F.col("doc_id").cast("long") < 100)
     media = synth_media_table(spark, spans)
     feats = decode_and_featurize(media)
+    # stride 30 keeps the battery cheap; the synth's GOP is 10, so every
+    # sampled webm frame is a key frame and decodes to pixels
+    fagg = (
+        decode_frames(sample_frames(media, every_n=30))
+        .groupBy("media_ref")
+        .agg(
+            F.sum("pix_sum").alias("frame_pix_sum"),
+            F.sum("is_key").alias("n_key"),
+        )
+    )
     meta_dim = media.select(
         "media_ref",
         F.col("meta.format").alias("fmt"),
@@ -606,21 +622,27 @@ def q29_multimodal(spark, sf):
     )
     png, jpg = F.col("fmt") == "png", F.col("fmt") == "jpeg"
     webm = F.col("fmt") == "webm"
-    return feats.join(F.broadcast(meta_dim), "media_ref").select(
-        "media_ref",
-        F.size("features").alias("feat_dim"),
-        F.when(png, F.col("width")).alias("png_w"),
-        F.when(png, F.col("height")).alias("png_h"),
-        "pix_sum",
-        F.when(jpg, F.col("width")).alias("jpg_w"),
-        F.when(jpg, F.col("height")).alias("jpg_h"),
-        F.when(webm, F.col("width")).alias("webm_w"),
-        F.when(webm, F.col("height")).alias("webm_h"),
-        (
-            (F.col("width") == F.col("mw")) & (F.col("height") == F.col("mh"))
+    return (
+        feats.join(F.broadcast(meta_dim), "media_ref")
+        .join(fagg, "media_ref")
+        .select(
+            "media_ref",
+            F.size("features").alias("feat_dim"),
+            F.when(png, F.col("width")).alias("png_w"),
+            F.when(png, F.col("height")).alias("png_h"),
+            "pix_sum",
+            F.when(jpg, F.col("width")).alias("jpg_w"),
+            F.when(jpg, F.col("height")).alias("jpg_h"),
+            F.when(webm, F.col("width")).alias("webm_w"),
+            F.when(webm, F.col("height")).alias("webm_h"),
+            (
+                (F.col("width") == F.col("mw")) & (F.col("height") == F.col("mh"))
+            )
+            .cast("int")
+            .alias("meta_ok"),
+            F.col("frame_pix_sum").cast("long").alias("frame_pix_sum"),
+            F.col("n_key").cast("long").alias("n_key"),
         )
-        .cast("int")
-        .alias("meta_ok"),
     )
 
 
@@ -1543,8 +1565,13 @@ def _oracle_sql_for(
                      CASE WHEN num % 3 = 2
                           THEN CAST(64 + (num * 29) % 512 AS INT) END AS webm_h
               FROM (SELECT media_ref,
-                           CAST(split_part(media_ref, '_', 2) AS BIGINT) * 1000
-                             + CAST(split_part(media_ref, '_', 3) AS BIGINT)
+                           -- TRY_CAST: DuckDB may evaluate this
+                           -- projection eagerly on rows the kind-filter
+                           -- later drops (text spans, media_ref = ''),
+                           -- depending on the chosen plan — a plain
+                           -- CAST made the oracle intermittently throw
+                           TRY_CAST(split_part(media_ref, '_', 2) AS BIGINT) * 1000
+                             + TRY_CAST(split_part(media_ref, '_', 3) AS BIGINT)
                                AS num
                     FROM refs)
             )
@@ -1573,16 +1600,43 @@ def _oracle_sql_for(
               JOIN generate_series(0, 62) x(x) ON x.x < d.jpg_w
               JOIN generate_series(0, 62) y(y) ON y.y < d.jpg_h
               GROUP BY d.media_ref
+            ), vpix AS (
+              -- VP8 sampled-key-frame luma checksums from first
+              -- principles (round-5): q29 samples every 30th frame and
+              -- the synth's GOP is 10, so every sampled frame is a key
+              -- frame; its luma is constant per 16x16 macroblock with
+              -- v = (7*mx + 13*my + 31*idx + num) % 256 and the
+              -- constant-per-MB VP8 roundtrip is bit-exact, so the
+              -- decoded checksum is MB arithmetic with edge-MB crop —
+              -- no VP8 code on the SQL side
+              SELECT d.media_ref,
+                     CAST(sum(((mx.mx * 7 + my.my * 13 + i.i * 31 + d.num) % 256)
+                          * least(16, d.webm_w - mx.mx * 16)
+                          * least(16, d.webm_h - my.my * 16)) AS BIGINT)
+                         AS frame_pix_sum,
+                     CAST(count(DISTINCT i.i) AS BIGINT) AS n_key
+              FROM dims d
+              JOIN generate_series(0, 119) i(i)
+                ON i.i < 1 + (d.num * 7) % 120 AND i.i % 30 = 0
+              JOIN generate_series(0, 35) mx(mx) ON mx.mx * 16 < d.webm_w
+              JOIN generate_series(0, 35) my(my) ON my.my * 16 < d.webm_h
+              WHERE d.num % 3 = 2
+              GROUP BY d.media_ref
             )
             SELECT dims.media_ref,
                    CAST(8 AS INT) AS feat_dim,
                    png_w, png_h,
                    coalesce(pix.pix_sum, jpix.pix_sum) AS pix_sum,
                    jpg_w, jpg_h, webm_w, webm_h,
-                   CAST(1 AS INT) AS meta_ok
+                   CAST(1 AS INT) AS meta_ok,
+                   -- a still image IS its single sampled frame
+                   coalesce(vpix.frame_pix_sum, pix.pix_sum, jpix.pix_sum)
+                       AS frame_pix_sum,
+                   coalesce(vpix.n_key, 1) AS n_key
             FROM dims
             LEFT JOIN pix ON dims.media_ref = pix.media_ref
             LEFT JOIN jpix ON dims.media_ref = jpix.media_ref
+            LEFT JOIN vpix ON dims.media_ref = vpix.media_ref
         """,
         "q46_boilerplate_strip": """
             SELECT doc_id, text AS main_text
