@@ -59,7 +59,15 @@ def _write_meta(spark, path: str, obj: dict) -> None:
     leave either no marker (rebuild happens) or a complete one, never a
     truncated JSON that both breaks probes and suppresses the rebuild.
     Rename is atomic on HDFS and local FS (same discipline as
-    ``fixtures.materialize_*``'s tmp+os.replace publish)."""
+    ``fixtures.materialize_*``'s tmp+os.replace publish).
+
+    Republish (marker already present) goes through ``FileContext``'s
+    single-call overwriting rename — the ``FileSystem`` API has no
+    clobbering rename, and delete-then-rename leaves a no-marker window
+    where a crash loses the PREVIOUS valid marker too (round-4 advice).
+    Filesystems without an ``AbstractFileSystem`` binding (older s3a)
+    fall back to delete+rename; :func:`_read_meta`'s missing-marker
+    retry tolerates that window for concurrent readers."""
     from .checkpoint import _fs_for
 
     fs, tmp = _fs_for(spark, f"{path}/_meta.json.tmp")
@@ -67,6 +75,18 @@ def _write_meta(spark, path: str, obj: dict) -> None:
     out.write(bytearray(json.dumps(obj).encode()))
     out.close()
     _, final = _fs_for(spark, f"{path}/_meta.json")
+    jvm = spark._jvm
+    try:
+        ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            final.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        gw = spark.sparkContext._gateway
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        ctx.rename(tmp, final, opts)  # atomic overwrite, no gap
+        return
+    except Exception:  # no AbstractFileSystem binding for this scheme
+        pass
     if fs.exists(final):  # HDFS rename won't clobber; local FS varies
         fs.delete(final, False)
     if not fs.rename(tmp, final):
@@ -74,10 +94,24 @@ def _write_meta(spark, path: str, obj: dict) -> None:
 
 
 def _read_meta(spark, path: str) -> dict:
+    import time
+
     from .checkpoint import _fs_for
 
     fs, p = _fs_for(spark, f"{path}/_meta.json")
-    stream = fs.open(p)
+    stream = None
+    for attempt in (0, 1):
+        try:
+            stream = fs.open(p)
+            break
+        except Exception as exc:  # py4j-wrapped FileNotFoundException
+            # a writer on a non-FileContext filesystem republishing via
+            # delete+rename has a brief no-marker window — one short
+            # retry rides it out; anything else (or a second miss)
+            # propagates so the builders' idempotency check sees it
+            if attempt or "FileNotFoundException" not in str(exc):
+                raise
+            time.sleep(0.2)
     try:
         # IOUtils returns the byte[]; reading into a passed bytearray
         # would NOT work — py4j passes it by value, Java-side writes

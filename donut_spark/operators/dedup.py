@@ -349,6 +349,16 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         ckpt_ids = persistent_rdd_ids(sc) - pre_ids
+        # localCheckpoint persists exactly ONE RDD, so the diff must be a
+        # singleton. Any other cardinality means concurrent driver
+        # activity (another thread persisting/checkpointing on the same
+        # SparkContext) interleaved with the diff window — unpersisting a
+        # foreign id would destroy another job's only copy (checkpoint
+        # blocks have no lineage). Track nothing in that case and let the
+        # context cleaner GC this round's blocks; the single-threaded
+        # leak-audit tests would catch a systematic mis-count here.
+        if len(ckpt_ids) != 1:
+            ckpt_ids = set()
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("cluster", "_old"), "v"

@@ -36,13 +36,15 @@ Two handle kinds ride the attribute:
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, NamedTuple
 
 from pyspark.sql import DataFrame
 
 __all__ = [
     "attach_persisted",
     "release_persisted",
+    "capture",
+    "PersistedResult",
     "CheckpointBlocksHandle",
     "persistent_rdd_ids",
 ]
@@ -82,6 +84,49 @@ def attach_persisted(result: DataFrame, frames: Iterable[DataFrame]) -> DataFram
     caller can release them once the result is consumed."""
     setattr(result, _ATTR, list(getattr(result, _ATTR, ())) + list(frames))
     return result
+
+
+class PersistedResult(NamedTuple):
+    """Misuse-proof hand-off for operator results with persisted
+    intermediates (round-4 verdict item 3): the handles live in the
+    tuple, not on the DataFrame object, so caller-side transformations
+    (``res.frame.filter(...)``) can't shed them — ``res.release()``
+    always frees exactly the operator's blocks no matter what the
+    caller derived from ``frame``. Same consumption rule as
+    :func:`release_persisted`: release strictly AFTER the result is
+    written/collected (checkpoint handles have no lineage to recompute
+    from)."""
+
+    frame: DataFrame
+    handles: tuple
+
+    def release(self, blocking: bool = False) -> int:
+        """Unpersist every handle; returns how many were released.
+        Idempotent per handle kind (re-releasing a released frame is a
+        JVM no-op; :class:`CheckpointBlocksHandle` empties its id
+        list)."""
+        for h in self.handles:
+            h.unpersist(blocking)
+        return len(self.handles)
+
+
+def capture(df: DataFrame) -> PersistedResult:
+    """Convert an attribute-style operator return (``attach_persisted``)
+    into a :class:`PersistedResult`, popping the handles off the frame so
+    exactly one owner exists. New call sites should wrap every
+    handle-bearing operator call::
+
+        res = capture(minhash_lsh_pairs(...))
+        res.frame.filter(...).write.parquet(out)   # transform freely
+        res.release()                              # after consumption
+
+    The attribute hand-off stays for existing call sites (back-compat);
+    this wrapper is the shape that makes the silent-shed failure mode
+    (plans/cache.py HAND-OFF DISCIPLINE note) impossible."""
+    handles = tuple(getattr(df, _ATTR, ()))
+    if hasattr(df, _ATTR):
+        setattr(df, _ATTR, [])
+    return PersistedResult(frame=df, handles=handles)
 
 
 def release_persisted(df: DataFrame, blocking: bool = False) -> int:

@@ -56,6 +56,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from donut_spark.operators.dedup import contamination_overlap
+    from donut_spark.plans.cache import persistent_rdd_ids
     from donut_spark.sources.session import ENGINE_CONF
 
     builder = SparkSession.builder.appName("donut_spark_contamination")
@@ -95,6 +96,10 @@ def main() -> None:
                 "clean_docs": n_clean,
                 "n": args.n,
                 "min_hits": args.min_hits,
+                # leak audit — broadcast-only pipeline, must stay flat
+                "residual_cached_rdds": len(
+                    persistent_rdd_ids(spark.sparkContext)
+                ),
             }
         )
     )

@@ -54,7 +54,7 @@ def main() -> None:
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
-    from donut_spark.plans.cache import persistent_rdd_ids, release_persisted
+    from donut_spark.plans.cache import capture, persistent_rdd_ids
     from donut_spark.sources.session import ENGINE_CONF
 
     builder = SparkSession.builder.appName("donut_spark_dedup")
@@ -72,15 +72,19 @@ def main() -> None:
     ).write.mode("overwrite").parquet(f"{out}/exact_dups")
     uniq = exact_dedup(docs, args.text_col, args.key)
 
-    # 2. banded MinHash discovery + hot-bucket audit (same banding frame)
-    cands = minhash_lsh_pairs(
+    # 2. banded MinHash discovery + hot-bucket audit (same banding frame).
+    #    capture() moves the persisted-frame handles off the returned
+    #    DataFrame into a PersistedResult, so any transformation of the
+    #    result stays release-safe (plans/cache.py hand-off discipline)
+    cands_res = capture(minhash_lsh_pairs(
         uniq,
         args.text_col,
         args.key,
         num_perm=args.num_perm,
         bands=args.bands,
         max_bucket_size=args.max_bucket_size,
-    )
+    ))
+    cands = cands_res.frame
     hot_buckets(
         minhash_banded(uniq, args.text_col, args.key, args.num_perm, args.bands),
         ["band", "band_hash"],
@@ -99,25 +103,27 @@ def main() -> None:
     pairs.write.mode("overwrite").parquet(f"{out}/pairs")
     # the banded signature frame minhash_lsh_pairs persisted has now
     # been fully consumed (pairs are on disk) — release it, or a
-    # long-lived session accumulates one cached frame per stage (the
-    # handle rides on `cands`, the operator's RETURN object; see
-    # plans/cache.py hand-off discipline)
-    release_persisted(cands)
+    # long-lived session accumulates one cached frame per stage
+    cands_res.release()
     pairs = spark.read.parquet(f"{out}/pairs")
 
-    # 4. transitive closure → keeper election (min key per component)
-    clusters = connected_components(pairs)
+    # 4. transitive closure → keeper election (min key per component).
+    #    The keeper anti-join FILTERS the checkpoint-backed result before
+    #    its final consumption — exactly the shape the attribute hand-off
+    #    silently leaked on (the filtered frame drops the attribute);
+    #    with PersistedResult the handles survive any derivation, and the
+    #    release still happens strictly AFTER the last consumer (deduped
+    #    write) because checkpointed plans have no lineage to recompute.
+    clusters_res = capture(connected_components(pairs))
+    clusters = clusters_res.frame
     clusters.write.mode("overwrite").parquet(f"{out}/clusters")
-    # ditto for the final CC round's localCheckpoint blocks (release
-    # strictly AFTER the write — checkpointed plans can't recompute)
-    release_persisted(clusters)
-    clusters = spark.read.parquet(f"{out}/clusters")
 
     drop = clusters.filter(F.col("v") != F.col("cluster")).select(
         F.col("v").alias(args.key)
     )
     deduped = uniq.join(drop, args.key, "left_anti")
     deduped.write.mode("overwrite").parquet(f"{out}/deduped")
+    clusters_res.release()
 
     n_in = docs.count()
     n_out = spark.read.parquet(f"{out}/deduped").count()

@@ -103,6 +103,11 @@ def main() -> None:
         )
     n = result.count()
     print(f"extracted {n} documents -> {args.output}/data")
+    # leak audit: the evaluated frame was the only persist and was
+    # released after its two consumers — repeated runs must stay flat
+    from donut_spark.plans.cache import persistent_rdd_ids
+
+    print(f"residual cached rdds: {len(persistent_rdd_ids(spark.sparkContext))}")
 
 
 if __name__ == "__main__":

@@ -120,6 +120,12 @@ def main() -> None:
         )
         print(f"pq index -> {path}")
 
+    # leak audit: the builders persist nothing across their return — a
+    # scheduler looping this job over table partitions must stay flat
+    from donut_spark.plans.cache import persistent_rdd_ids
+
+    print(f"residual cached rdds: {len(persistent_rdd_ids(spark.sparkContext))}")
+
 
 if __name__ == "__main__":
     main()

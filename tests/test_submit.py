@@ -56,6 +56,8 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "extracted 30 documents" in proc.stdout
+    # leak audit: the evaluated persist was released after consumption
+    assert "residual cached rdds: 0" in proc.stdout, proc.stdout[-2000:]
 
     data = spark.read.parquet(f"{out_dir}/data")
     assert data.count() == 30
@@ -184,6 +186,8 @@ def test_spark_submit_index_build(spark, tmp_path):
         spark, f"{out_dir}/pq", emb, q, k=10, rerank=500
     ).collect()
     assert [r.vec_id for r in pq_full] == [r.vec_id for r in brute]
+    # leak audit: builders strand no persisted/checkpointed blocks
+    assert "residual cached rdds: 0" in proc.stdout, proc.stdout[-2000:]
 
 
 def test_spark_submit_contamination_sweep(spark, tmp_path):
@@ -248,3 +252,4 @@ def test_spark_submit_contamination_sweep(spark, tmp_path):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["corpus_docs"] == 3 and summary["flagged_docs"] == 2
     assert summary["clean_docs"] == 1
+    assert summary["residual_cached_rdds"] == 0  # leak audit
