@@ -151,6 +151,37 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         results[f"{name}_probe_only"] = round(time.perf_counter() - t0, 3)
 
+    # adversarial skew (SURVEY §4.1 motivating case): the sf battery
+    # input plus 4 docs of 10k spans each. Doc-mode (the fused flagship
+    # plan) pins each heavy doc to ONE Python worker for the whole doc;
+    # span-mode explodes, salts the heavy tail over 16 salt values and
+    # reassembles — the 10^12-doc plan. Timed on the same staged input;
+    # exact_match_rate must be 1.0 in BOTH modes (recorded alongside).
+    # Excluded from `total` to keep the battery comparable across rounds.
+    from donut_spark.operators.extract import evaluate_extraction, extract_documents
+    from donut_spark.sources.fixtures import materialize_skewed_spans
+
+    skew = spark.read.parquet(materialize_skewed_spans(spark, sf_dir))
+    skew.count()  # materialize + warm footers
+    skew_match: dict[str, float] = {}
+    for mode in ("doc", "span"):
+        plan = (
+            (lambda df: extract_and_evaluate(df))
+            if mode == "doc"
+            else (lambda df: evaluate_extraction(extract_documents(df, "span")))
+        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            agg = (
+                plan(skew)
+                .agg(F.count("*").alias("docs"), F.avg("exact_match").alias("em"))
+                .collect()[0]
+            )
+            best = min(best, time.perf_counter() - t0)
+        results[f"skew_{mode}_mode"] = round(best, 3)
+        skew_match[mode] = float(agg["em"])
+
     # attach the recorded N→4N scaling evidence (BASELINE.json north rule;
     # regenerated by bench_scaling.py) so every bench snapshot carries it
     scaling = None
@@ -168,7 +199,11 @@ def main() -> None:
         }
 
     cal_after = calibrate()
-    total = sum(results[k] for k in results if not k.endswith("_probe_only"))
+    total = sum(
+        results[k]
+        for k in results
+        if not k.endswith("_probe_only") and not k.startswith("skew_")
+    )
     print(
         json.dumps(
             {
@@ -182,6 +217,7 @@ def main() -> None:
                 "docs_per_sec": round(docs_per_sec, 2),
                 "exact_match_rate": float(agg["em"]),
                 "roundtrip_rate": float(agg["rt"]),
+                "skew_exact_match": skew_match,
                 "scaling": scaling,
                 "calibration": {"before": cal_before, "after": cal_after},
             }

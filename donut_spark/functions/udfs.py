@@ -270,6 +270,42 @@ def repair_table(compact: pd.Series) -> pd.Series:
 # ---- tree linearization ----
 
 
+TREE_EVAL_SCHEMA = StructType(
+    [
+        StructField("token_seq", StringType()),
+        StructField("pred_parse", StringType()),
+        StructField("roundtrip_ok", IntegerType()),
+        StructField("nted", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(TREE_EVAL_SCHEMA)
+def _tree_eval_fused(gt_parse: pd.Series) -> pd.DataFrame:
+    """The gt_parse-only half of :func:`_extract_eval_fused` as ONE
+    Python node: json2token → token2json → roundtrip → nTED.
+
+    Exists for ``evaluate_extraction`` over pre-extracted frames (the
+    span-parallel path): chaining the four single-purpose UDFs builds
+    four ArrowEvalPython nodes, and EACH one's row queue re-buffers the
+    child rows — which there carry the reassembled ``extracted``/
+    ``expected``/``spans`` arrays, multi-MB per media-heavy document.
+    Measured on the 4×40k-span skew fixture the chain costs ~20 s
+    against ~1 s fused. Per-element semantics are identical to the
+    chained kernels (same ``tree`` calls, same ``_parse_or_empty``
+    null/garbage coercion for nTED)."""
+    rows = []
+    for gt in gt_parse:
+        seq = tree.json2token_str(gt)
+        pred = tree.token2json_str(seq)
+        ok = tree.roundtrip_ok(gt)
+        nted = metrics.nted_accuracy(_parse_or_empty(pred), _parse_or_empty(gt))
+        rows.append((seq, pred, int(ok), nted))
+    return pd.DataFrame(
+        rows, columns=["token_seq", "pred_parse", "roundtrip_ok", "nted"]
+    )
+
+
 @F.pandas_udf(StringType())
 def json2token_udf(tree_json: pd.Series) -> pd.Series:
     return tree_json.map(tree.json2token_str)

@@ -129,6 +129,7 @@ from .similarity import (  # noqa: E402
     _stable_probe_cells,
     _unit_rows,
     adaptive_probe_cells,
+    adaptive_rerank_count,
 )
 
 
@@ -138,6 +139,38 @@ def _probe_cells(cn, qn, n_probe, multiprobe_margin):
     if multiprobe_margin is None:
         return _stable_probe_cells(cn, qn, n_probe)
     return adaptive_probe_cells(cn, qn, n_probe, multiprobe_margin)
+
+
+def _rerank_candidates(
+    scored: DataFrame,
+    base: DataFrame,
+    rerank: int,
+    rerank_margin: float | None,
+    max_rerank_factor: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared ADC→exact-rerank hand-off for the compressed-code probes.
+
+    ``rerank_margin=None`` keeps the committed fixed budget (semi-join of
+    the top-``rerank`` ids — TakeOrderedAndProject, nothing on the
+    driver). With a margin set, the top ``rerank × max_rerank_factor``
+    ``(id, _adc)`` rows come to the driver (a BOUNDED fetch — a few
+    hundred rows regardless of table size) and
+    :func:`similarity.adaptive_rerank_count` picks the escalated count:
+    a flat ADC profile (OOD query — quantized scores plateau around the
+    budget boundary) widens the exact rerank toward the cap, a steep one
+    stays at ``rerank``. The chosen ids push into the base scan as one
+    ``IN``-set filter, so the raw-vector fetch stays proportional to the
+    escalated count, never the table."""
+    ordered = scored.orderBy(F.desc("_adc"), F.col("id"))
+    if rerank_margin is None:
+        cand_ids = ordered.limit(rerank).select(F.col("id").alias(id_col))
+        return base.join(cand_ids, id_col, "left_semi")
+    cap = max(int(rerank), int(round(rerank * max_rerank_factor)))
+    top = ordered.select("id", "_adc").limit(cap).collect()
+    p = adaptive_rerank_count([r["_adc"] for r in top], rerank, rerank_margin)
+    ids = [r["id"] for r in top[:p]]
+    return base.filter(F.col(id_col).isin(ids))
 
 
 def write_srp_index(
@@ -370,11 +403,19 @@ def probe_ivfadc_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     multiprobe_margin: float | None = None,
+    rerank_margin: float | None = None,
+    max_rerank_factor: float = 4.0,
 ) -> DataFrame:
     """Top-k probe against a :func:`write_ivfadc_index` layout.
     ``multiprobe_margin`` enables adaptive probe widening for OOD
     queries (:func:`similarity.adaptive_probe_cells`); ``None`` keeps
-    the fixed, oracle-pinned discipline.
+    the fixed, oracle-pinned discipline. ``rerank_margin`` independently
+    enables score-gap-triggered rerank escalation
+    (:func:`similarity.adaptive_rerank_count`): when the ADC profile
+    around the rerank boundary is flat — the OOD signature, where
+    quantization noise dominates the ordering — the exact rerank grows
+    toward ``rerank × max_rerank_factor`` so mis-ranked true neighbors
+    still reach the exact pass; confident profiles pay nothing.
 
     The scan reads ONLY the probed cell directories (partition pruning
     on ``_cell``). Scoring is pure JVM: q·x ≈ q·centroid(cell) +
@@ -413,12 +454,9 @@ def probe_ivfadc_index(
     scored = cells.withColumn(
         "_adc", F.element_at(cell_dots, F.col("_cell") + 1) + adc
     )
-    cand_ids = (
-        scored.orderBy(F.desc("_adc"), F.col("id"))
-        .limit(rerank)
-        .select(F.col("id").alias(id_col))
+    candidates = _rerank_candidates(
+        scored, base, rerank, rerank_margin, max_rerank_factor, id_col
     )
-    candidates = base.join(cand_ids, id_col, "left_semi")
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
@@ -463,25 +501,30 @@ def probe_pq_index(
     rerank: int = 100,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rerank_margin: float | None = None,
+    max_rerank_factor: float = 4.0,
 ) -> DataFrame:
     """Top-k probe against a :func:`write_pq_index` layout: scan the
     code table (compressed domain, literal-LUT ADC inside whole-stage
     codegen — zero Python), take the top-``rerank`` ids, exact-cosine
     rerank by id against the base table. Identical to
     :func:`donut_spark.operators.pq.pq_topk` with the same codebooks —
-    minus the per-query encode scan."""
+    minus the per-query encode scan. ``rerank_margin`` enables the same
+    score-gap-triggered rerank escalation as
+    :func:`probe_ivfadc_index`."""
     from .pq import pq_adc_scores
     from .similarity import cosine_topk
 
     books = np.asarray(_read_meta(spark, path)["codebooks"], dtype="float64")
     codes = spark.read.parquet(os.path.join(path, "codes"))
-    cand_ids = (
-        pq_adc_scores(codes, books, query_vec)
-        .orderBy(F.desc("_adc"), F.col("id"))
-        .limit(rerank)
-        .select(F.col("id").alias(id_col))
+    candidates = _rerank_candidates(
+        pq_adc_scores(codes, books, query_vec),
+        base,
+        rerank,
+        rerank_margin,
+        max_rerank_factor,
+        id_col,
     )
-    candidates = base.join(cand_ids, id_col, "left_semi")
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 

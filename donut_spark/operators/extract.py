@@ -21,13 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.udfs import (
-    extract_pieces,
-    json2token_udf,
-    nted_udf,
-    roundtrip_ok_udf,
-    token2json_udf,
-)
+from ..functions.udfs import extract_pieces
 from ..plans.skew import decluster, salt_heavy
 from ..sources.fixtures import build_spans_table
 
@@ -82,25 +76,25 @@ def extract_documents(
     if mode != "span":
         raise ValueError(f"unknown mode: {mode}")
 
-    # Pass-through columns (expected, gt_parse, spans, ...) ride the
-    # SAME scan/shuffle as the exploded spans — exactly one copy per
-    # document, attached to the pos==0 row and recovered with
-    # first(ignorenulls) — instead of a second scan of the fact table
-    # plus a join (at 100 TB the re-scan is the dominant cost; here it
-    # would even re-run fixture synthesis).
-    passthrough = [c for c in spans_df.columns if c not in ("doc_id", "spans")]
+    # The exploded side carries ONLY slim per-span fields. Pass-through
+    # columns (spans, expected, gt_parse, ...) do NOT ride the explode:
+    # an earlier design attached them to the pos==0 row and recovered
+    # them with first(ignorenulls) through both aggregation phases —
+    # measured on the 100k-span adversarial fixture that is
+    # superlinear (each agg boundary re-copies the document's arrays
+    # element-by-element through the object agg buffers; 46 s vs ~1 s
+    # for the same extraction with the arrays pruned). They are
+    # re-attached by a doc_id join at the end, where they move exactly
+    # once as raw row bytes.
     exploded = df.select(
-        "doc_id", "spans", *passthrough, F.posexplode("spans").alias("pos", "s")
-    ).select(
         "doc_id",
         # span count rides along so salt_heavy can tell the media-heavy
         # tail apart per exploded row (evaluated pre-explode, zero cost)
         F.size("spans").alias("_w"),
-        *[
-            F.when(F.col("pos") == 0, F.col(c)).alias(c)
-            for c in passthrough
-        ],
-        F.when(F.col("pos") == 0, F.col("spans")).alias("spans"),
+        F.posexplode("spans").alias("pos", "s"),
+    ).select(
+        "doc_id",
+        "_w",
         # NULL coercion + tie-break parity with doc mode: the fused
         # kernel reads span.get('offset') or 0 / .get('media_ref') or ''
         # and Python's stable sort keeps input order on equal offsets —
@@ -109,20 +103,37 @@ def extract_documents(
         # or duplicate offsets
         F.coalesce(F.col("s.offset"), F.lit(0)).alias("offset"),
         F.col("pos"),
-        F.when(
-            F.col("s.kind") == "media",
-            F.array(
-                F.struct(
-                    F.lit("media").alias("kind"),
-                    F.lit("").alias("text"),
-                    F.coalesce(F.col("s.media_ref"), F.lit("")).alias(
-                        "media_ref"
-                    ),
-                )
-            ),
-        )
-        .otherwise(extract_pieces(F.col("s.text")))
-        .alias("pieces"),
+        F.col("s.kind").alias("_kind"),
+        F.col("s.text").alias("_text"),
+        F.col("s.media_ref").alias("_mref"),
+    )
+    # Salt FIRST, then an EXPLICIT exchange on (doc_id, _salt), and only
+    # THEN the extraction UDF. Two scale properties hang on this order,
+    # both found on the 10k-span adversarial fixture:
+    #
+    # 1. Memory: placed directly over the Generate, ArrowEvalPython's
+    #    row queue buffers the explode's JOIN rows — every exploded row
+    #    re-materializes the document's full spans/expected arrays, so
+    #    one Arrow batch window holds O(batch × doc_size) bytes
+    #    (quadratic in span count; a 4×10k-span file OOMed an 8 GiB
+    #    heap). Below the exchange the buffered rows are the SLIM gated
+    #    projection — the pos==0 row alone carries the arrays, exactly
+    #    once per document.
+    # 2. Skew: the explode keeps a document's spans inside its scan
+    #    split, so without the exchange the Python kernel for a heavy
+    #    doc still ran on ONE worker — the salting only spread the
+    #    (cheap) reassembly. Pre-UDF repartitioning spreads the heavy
+    #    doc's UDF work over its 16 salt buckets, which is the actual
+    #    §4.1 win.
+    #
+    # The phase-1 groupBy keys equal the repartition keys, so the
+    # aggregation reuses this exchange (no extra shuffle vs the old
+    # plan — the exchange moved from post-partial-agg to pre-UDF).
+    salted = salt_heavy(exploded, "doc_id", "pos", F.col("_w"))
+    salted = salted.repartition(
+        spans_df.sparkSession.sparkContext.defaultParallelism * 2,
+        "doc_id",
+        "_salt",
     )
     # Two-phase salted reassembly (plans/skew.salt_heavy): one
     # media-heavy document (a 10k-span doc is one groupBy key) would
@@ -132,24 +143,37 @@ def extract_documents(
     # few partial arrays per doc. Light docs all use _salt=0, so phase 1
     # is one group per doc and phase 2 moves already-aggregated rows.
     # Ordering is unaffected: array_sort runs on the flattened whole.
-    salted = salt_heavy(exploded, "doc_id", "pos", F.col("_w"))
-    firsts = lambda: [  # noqa: E731 — same agg list in both phases
-        F.first("spans", ignorenulls=True).alias("spans"),
-        *[F.first(c, ignorenulls=True).alias(c) for c in passthrough],
-    ]
+    salted = salted.withColumn(
+        "pieces",
+        F.when(
+            F.col("_kind") == "media",
+            F.array(
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit("").alias("text"),
+                    F.coalesce(F.col("_mref"), F.lit("")).alias("media_ref"),
+                )
+            ),
+        ).otherwise(extract_pieces(F.col("_text"))),
+    ).drop("_kind", "_text", "_mref")
     reassembled = (
         salted.groupBy("doc_id", "_salt")
-        .agg(
-            F.collect_list(F.struct("offset", "pos", "pieces")).alias("_pp"),
-            *firsts(),
-        )
+        .agg(F.collect_list(F.struct("offset", "pos", "pieces")).alias("_pp"))
         .groupBy("doc_id")
-        .agg(F.flatten(F.collect_list("_pp")).alias("_parts"), *firsts())
+        .agg(F.flatten(F.collect_list("_pp")).alias("_parts"))
         .withColumn("_flat", F.expr("flatten(transform(array_sort(_parts), p -> p.pieces))"))
         .withColumn("extracted", F.expr(_RENUMBER))
-        .drop("_parts", "_flat")
+        .select("doc_id", "extracted")
     )
-    return reassembled.select("doc_id", "spans", *passthrough, "extracted")
+    # Re-attach the original columns with one doc_id equi-join. The
+    # reassembled side leaves phase 2 already hash-partitioned on
+    # doc_id, so only the base side shuffles — its rows (including the
+    # media-heavy arrays) move exactly once, as raw bytes, never
+    # through an aggregation buffer. This re-reads the input plan; at
+    # corpus scale that is a column-complete parquet scan (cheap next
+    # to the Python extraction), and synthesized inputs should be
+    # materialized first (bench/fixtures do).
+    return df.join(reassembled, "doc_id")
 
 
 def evaluate_extraction(df: DataFrame) -> DataFrame:
@@ -166,11 +190,19 @@ def evaluate_extraction(df: DataFrame) -> DataFrame:
             "exact_match", (F.col("extracted") == F.col("expected")).cast("int")
         )
     if "gt_parse" in df.columns:
+        # ONE fused Python node, not a 4-UDF chain: each ArrowEvalPython
+        # re-buffers its child rows, and rows here carry the reassembled
+        # span arrays (multi-MB on the media-heavy tail) — see
+        # functions/udfs._tree_eval_fused
+        from ..functions.udfs import _tree_eval_fused
+
         out = (
-            out.withColumn("token_seq", json2token_udf("gt_parse"))
-            .withColumn("pred_parse", token2json_udf("token_seq"))
-            .withColumn("roundtrip_ok", roundtrip_ok_udf("gt_parse").cast("int"))
-            .withColumn("nted", nted_udf("pred_parse", "gt_parse"))
+            out.withColumn("_tev", _tree_eval_fused("gt_parse"))
+            .withColumn("token_seq", F.col("_tev.token_seq"))
+            .withColumn("pred_parse", F.col("_tev.pred_parse"))
+            .withColumn("roundtrip_ok", F.col("_tev.roundtrip_ok"))
+            .withColumn("nted", F.col("_tev.nted"))
+            .drop("_tev")
         )
     return out
 

@@ -51,6 +51,8 @@ __all__ = [
     "materialize_spans",
     "materialize_ivfadc_codebooks",
     "load_spans",
+    "build_skewed_spans_table",
+    "materialize_skewed_spans",
 ]
 
 SPAN_SCHEMA = StructType(
@@ -136,17 +138,28 @@ def _wrap_chunk(rng: random.Random, words: List[str]) -> Tuple[str, str]:
     return html, expected
 
 
-def synth_doc(doc_id: str, corpus_text: str) -> Tuple[list, list, str]:
+def synth_doc(
+    doc_id: str,
+    corpus_text: str,
+    n_text: int | None = None,
+    n_media: int | None = None,
+) -> Tuple[list, list, str]:
     """Build one document: (shuffled spans, expected spans, gt_parse json).
 
-    Deterministic in (doc_id, corpus_text) only.
+    Deterministic in (doc_id, corpus_text) only. ``n_text``/``n_media``
+    override the seeded span counts (the skew-bench fixture forces a
+    10k-span tail this way); ``None`` keeps the committed distribution —
+    the rng draw order is unchanged either way, so existing doc_ids keep
+    their byte-identical output.
     """
     rng = random.Random(zlib.crc32(doc_id.encode("utf-8")))
     words = corpus_text.split() or ["empty"]
 
     heavy = rng.random() < 0.10
-    n_text = rng.randint(24, 40) if heavy else rng.randint(1, 8)
-    n_media = rng.randint(24, 40) if heavy else rng.randint(0, 3)
+    if n_text is None:
+        n_text = rng.randint(24, 40) if heavy else rng.randint(1, 8)
+    if n_media is None:
+        n_media = rng.randint(24, 40) if heavy else rng.randint(0, 3)
 
     raw_spans: List[Tuple[str, str, str]] = []   # generation (reading) order
     expected: List[Tuple[str, str, str]] = []
@@ -331,6 +344,74 @@ def materialize_spans(
 def load_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the materialized spans fixture (materializing on first use)."""
     return spark.read.parquet(materialize_spans(spark, sf_dir))
+
+
+def build_skewed_spans_table(
+    spark: SparkSession,
+    sf_dir: str,
+    heavy_docs: int = 4,
+    heavy_spans: int = 10_000,
+) -> DataFrame:
+    """The SURVEY §4.1 motivating case as a stageable fixture: the
+    regular spans table plus ``heavy_docs`` documents of ``heavy_spans``
+    interleaved spans each — the media-heavy tail where one document is
+    ~10³× the median's UDF cost, which AQE cannot see (it balances
+    bytes, not Python time) and which pins doc-parallel extraction to
+    ``heavy_docs`` cores while span-parallel extraction spreads it over
+    the cluster. Heavy docs come from the same ``synth_doc`` algebra
+    (forced span counts), so ``expected``/``gt_parse`` invariants hold
+    and exact_match_rate must stay 1.0 in BOTH physical modes."""
+    base = build_spans_table(spark, sf_dir)
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .orderBy("doc_id")
+        .limit(heavy_docs)
+        .collect()
+    )
+
+    n_media = heavy_spans // 2
+    n_text = heavy_spans - n_media
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                spans, expected, gt = synth_doc(
+                    str(doc_id), text or "", n_text=n_text, n_media=n_media
+                )
+                rows.append((str(doc_id), spans, expected, gt))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "spans", "expected", "gt_parse"]
+            )
+
+    heavy_src = spark.createDataFrame(
+        [(f"skew_{i:02d}_{r.doc_id}", r.text) for i, r in enumerate(seeds)],
+        ["doc_id", "text"],
+    ).repartition(max(1, heavy_docs))  # one synth task per heavy doc
+    heavy = heavy_src.mapInPandas(gen, schema=SPANS_TABLE_SCHEMA)
+    return base.unionByName(heavy)
+
+
+def materialize_skewed_spans(
+    spark: SparkSession, sf_dir: str, out_root: str = FIXTURES_ROOT
+) -> str:
+    """Write the skewed spans fixture once (idempotent, 32-file layout —
+    same sizing rule as :func:`materialize_spans`); the hash layout puts
+    each heavy doc in its own file alongside light docs, which is
+    exactly the adversarial scan shape: doc-mode inherits it and pins,
+    span-mode re-shards."""
+    import os
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(out_root, f"spans_skew_{name}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    df = build_skewed_spans_table(spark, sf_dir)
+    df.repartition(32, "doc_id").write.mode("overwrite").parquet(path)
+    return path
 
 
 def materialize_fingerprints(sf_dir: str, out_root: str = FIXTURES_ROOT) -> str:
