@@ -182,6 +182,14 @@ def main() -> None:
         results[f"skew_{mode}_mode"] = round(best, 3)
         skew_match[mode] = float(agg["em"])
 
+    # streaming ingest legs (round-4 verdict item 7): sustained docs/s
+    # for the stateless contamination filter and the watermark-bounded
+    # dedup, plus the per-batch state-row series evidencing bounded
+    # state. Excluded from `total` like the skew rows.
+    from bench_streaming import run as streaming_run
+
+    streaming = streaming_run(spark, sf_dir)
+
     # attach the recorded N→4N scaling evidence (BASELINE.json north rule;
     # regenerated by bench_scaling.py) so every bench snapshot carries it
     scaling = None
@@ -218,6 +226,7 @@ def main() -> None:
                 "exact_match_rate": float(agg["em"]),
                 "roundtrip_rate": float(agg["rt"]),
                 "skew_exact_match": skew_match,
+                "streaming": streaming,
                 "scaling": scaling,
                 "calibration": {"before": cal_before, "after": cal_after},
             }

@@ -759,3 +759,154 @@ def test_pq_index_probe_matches_online(spark, tmp_path):
         for r in probe_pq_index(spark, path, e, q, k=15, rerank=60).collect()
     ]
     assert probed == online and len(probed) == 15
+
+
+def test_adaptive_rerank_count_geometry():
+    """adaptive_rerank_count (the OOD rerank-escalation rule): a
+    PLATEAU at the budget boundary — quantized ADC scores statistically
+    indistinguishable from the last kept candidate — widens the exact
+    rerank toward the caller's cap; a STEEP drop keeps exactly the
+    base budget; degenerate inputs stay bounded."""
+    from donut_spark.operators.similarity import adaptive_rerank_count
+
+    # plateau at the boundary: 4 tied leaders, base 2 → all 4 kept
+    assert adaptive_rerank_count([10.0, 10.0, 10.0, 10.0, 5.0], 2, 0.1) == 4
+    # steep drop right after the boundary: nothing added
+    assert adaptive_rerank_count([10.0, 9.0, 2.0, 1.9, 1.8], 2, 0.1) == 2
+    # near-flat OOD profile: widening is proportional to how much of the
+    # tail sits within margin x range of the boundary score — here
+    # cut = scores[9] - 0.25 * 0.049 = 0.97875, crossed at index 22
+    flat = [1.0 - 0.001 * i for i in range(50)]
+    assert adaptive_rerank_count(flat, 10, 0.25) == 22
+    # degenerate shapes
+    assert adaptive_rerank_count([], 5, 0.1) == 0
+    assert adaptive_rerank_count([3.0], 5, 0.1) == 1
+    assert adaptive_rerank_count([3.0, 2.0], 5, 0.1) == 2  # base >= n → n
+
+
+def test_rerank_candidates_escalation(spark):
+    """_rerank_candidates: margin=None keeps the fixed top-``rerank``
+    semi-join; a margin escalates through the boundary plateau but only
+    within the driver-bounded cap — the candidate id set is exactly what
+    adaptive_rerank_count picks from the capped head."""
+    from donut_spark.operators.ann_index import _rerank_candidates
+
+    scored = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 10.0), (4, 10.0), (5, 5.0), (6, 1.0)],
+        ["id", "_adc"],
+    )
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 7)], ["vec_id", "payload"]
+    )
+    fixed = _rerank_candidates(scored, base, 2, None, 4.0, "vec_id")
+    assert {r.vec_id for r in fixed.collect()} == {1, 2}
+    esc = _rerank_candidates(scored, base, 2, 0.1, 4.0, "vec_id")
+    # plateau of four tied leaders escalates past base=2, the cap
+    # (2 x 4.0 = 8 > 6 rows) permits all four; 5.0 is below the cut
+    assert {r.vec_id for r in esc.collect()} == {1, 2, 3, 4}
+
+
+def test_probe_ivfadc_rerank_margin_end_to_end(embeddings, tmp_path):
+    """probe_ivfadc_index with rerank_margin: the exactness regime
+    (all cells probed, rerank covering the pool) must STILL equal brute
+    force through the adaptive code path, and with a deliberately
+    starved rerank budget the escalated probe must never recall fewer
+    true neighbors than the fixed one."""
+    from donut_spark.operators.ann_index import (
+        probe_ivfadc_index,
+        write_ivfadc_index,
+    )
+    from donut_spark.operators.similarity import cosine_topk
+
+    spark = embeddings.sparkSession
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    path = write_ivfadc_index(
+        embeddings, str(tmp_path / "ivfadc_rm"), n_centroids=6, m=4, k=16
+    )
+    want = [r.vec_id for r in cosine_topk(embeddings, q, k=10).collect()]
+    got = probe_ivfadc_index(
+        spark, path, embeddings, q, k=10, n_probe=6, rerank=100, rerank_margin=0.1
+    ).collect()
+    assert [r.vec_id for r in got] == want
+
+    truth = set(want)
+    fixed = {
+        r.vec_id
+        for r in probe_ivfadc_index(
+            spark, path, embeddings, q, k=10, n_probe=6, rerank=5
+        ).collect()
+    }
+    esc = {
+        r.vec_id
+        for r in probe_ivfadc_index(
+            spark,
+            path,
+            embeddings,
+            q,
+            k=10,
+            n_probe=6,
+            rerank=5,
+            rerank_margin=0.1,
+            max_rerank_factor=20.0,
+        ).collect()
+    }
+    assert len(esc & truth) >= len(fixed & truth)
+
+
+def test_ivfadc_rerank_escalation_ood_curve(spark, tmp_path):
+    """Round-4 verdict item 5, the committed discipline pinned at test
+    scale (the sf1 curve lives in BENCH/r5_ood.md): on near-isotropic
+    embeddings an OOD query's ADC profile is flat, so a starved fixed
+    rerank loses true neighbors to quantization mis-ranking. Escalation
+    (rerank_margin) must recover a strictly positive share of them at
+    IDENTICAL probed coverage — it reranks more of the rows already
+    scanned, never reads more cells. The residual gap to brute force is
+    neighbor mass in unprobed cells, purchasable only with coverage
+    (adaptive multiprobe), not with any rerank policy."""
+    import numpy as np
+
+    from donut_spark.operators.ann_index import (
+        _read_meta,
+        probe_ivfadc_index,
+        write_ivfadc_index,
+    )
+    from donut_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ood_idx")
+    write_ivfadc_index(emb, path, n_centroids=8, m=8, k=16)
+    cents = np.asarray(_read_meta(spark, path)["centroids"], dtype="float64")
+    rng = np.random.default_rng(7)
+    queries = [(-cents[c] / np.linalg.norm(cents[c])).tolist() for c in (0, 2, 4, 6)]
+    queries += [
+        (v / np.linalg.norm(v)).tolist()
+        for v in rng.standard_normal((2, cents.shape[1]))
+    ]
+    k = 10
+    fixed_hits = esc_hits = 0
+    for q in queries:
+        truth = {r.vec_id for r in cosine_topk(emb, q, k=k).collect()}
+        fixed = {
+            r.vec_id
+            for r in probe_ivfadc_index(
+                spark, path, emb, q, k=k, n_probe=4, rerank=10
+            ).collect()
+        }
+        esc = {
+            r.vec_id
+            for r in probe_ivfadc_index(
+                spark,
+                path,
+                emb,
+                q,
+                k=k,
+                n_probe=4,
+                rerank=10,
+                rerank_margin=0.15,
+                max_rerank_factor=10.0,
+            ).collect()
+        }
+        fixed_hits += len(fixed & truth)
+        esc_hits += len(esc & truth)
+    # measured deterministically: fixed 18/60, escalated 22/60
+    assert esc_hits >= fixed_hits + 2, (fixed_hits, esc_hits)

@@ -939,3 +939,23 @@ def test_multimodal_mislabeled_meta_does_not_crash(spark):
     assert all(f.pix_sum is None for f in feats)  # both took the stub path
     rz = resize_media(media, 32, 32).collect()
     assert all(r.width == 32 for r in rz)
+
+
+def test_streaming_dedup_state_bounded(spark):
+    """The streaming ingest-dedup state bound, pinned end-to-end via the
+    bench harness's staged replay: 6 time-staggered copies of the corpus
+    arrive 1 minute apart under a 90-second watermark, so
+    dropDuplicatesWithinWatermark state must stay at the distinct
+    fingerprints of ONE horizon (cycling with eviction — entries expire
+    at arrival-ts + delay) and never grow toward the staged total, which
+    is what an unbounded dropDuplicates would do on a 10^12-doc stream."""
+    from bench_streaming import run
+
+    out = run(spark, SF_SMALL, copies=6)
+    dedup = out["exact_dedup"]
+    assert dedup["rows"] == out["staged_rows"]
+    assert dedup["state_bounded"], dedup
+    assert dedup["state_max"] <= 1.1 * (out["staged_rows"] // out["copies"])
+    # the stateless leg reports throughput and carries no state operator
+    assert out["contamination"]["docs_per_sec"] > 0
+    assert "state_rows_per_batch" not in out["contamination"]

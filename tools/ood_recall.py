@@ -97,6 +97,23 @@ def main() -> None:
                 rerank_margin=0.10,
             ),
         ),
+        # wider escalation cap: how much of the ceiling the margin rule
+        # can buy before the coverage bound takes over
+        (
+            "rerank_esc_cap16",
+            dict(
+                n_probe=base_probe,
+                rerank=100,
+                rerank_margin=0.10,
+                max_rerank_factor=16.0,
+            ),
+        ),
+        # the coverage-limited CEILING: exact-rerank every probed row.
+        # Whatever recall this loses is neighbor mass in UNPROBED cells
+        # — unpurchasable by any rerank policy, only by coverage. The
+        # gap between rerank_esc and this line is the ADC mis-ranking
+        # loss the escalation is meant to recover.
+        ("exact_ceiling", dict(n_probe=base_probe, rerank=n_rows)),
     ]
     for name, kw in configs:
         recalls, covers = [], []
