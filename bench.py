@@ -173,14 +173,14 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            agg = (
+            skew_agg = (
                 plan(skew)
                 .agg(F.count("*").alias("docs"), F.avg("exact_match").alias("em"))
                 .collect()[0]
             )
             best = min(best, time.perf_counter() - t0)
         results[f"skew_{mode}_mode"] = round(best, 3)
-        skew_match[mode] = float(agg["em"])
+        skew_match[mode] = float(skew_agg["em"])
 
     # streaming ingest legs (round-4 verdict item 7): sustained docs/s
     # for the stateless contamination filter and the watermark-bounded

@@ -258,3 +258,16 @@ def test_entry_smoke(spark):
         "doc_id", "n_spans_in", "n_spans_out", "exact_match",
         "roundtrip_ok", "nted",
     }
+
+
+def test_registry_exactly_fifty_all_oracle_backed():
+    """Round-4 advice (medium): the external gate evaluates at most 50
+    queries — pin that the registry is EXACTLY 50 and every entry has an
+    oracle, so the gate verifies the complete registry with no silent
+    tail rotation ever again."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) == 50, f"registry drifted to {len(qs)} entries"
+    assert set(qs) == set(oracles), (
+        set(qs) ^ set(oracles)
+    )
