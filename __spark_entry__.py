@@ -152,8 +152,19 @@ def q05_topk(spark, sf):
 
 
 def q06_distinct_sort(spark, sf):
-    """A4/A5/O3: distinct + lexicographic sort."""
-    return _sf(sf)(spark, "part").select("p_brand").distinct().orderBy("p_brand")
+    """A4/A5/O3 + F6/O4, consolidated (round-5): distinct +
+    lexicographic sort with a deterministic offset/limit slice — the
+    former q17_skip_limit's skip/limit assertion rides the same driver
+    row (p_type has 150 distinct values, so rows 21-70 are a real
+    mid-stream slice)."""
+    return (
+        _sf(sf)(spark, "part")
+        .select("p_type")
+        .distinct()
+        .orderBy("p_type")
+        .offset(20)
+        .limit(50)
+    )
 
 
 def q07_window_first(spark, sf):
@@ -266,17 +277,6 @@ def q15_exact_dup_clusters(spark, sf):
     )
 
 
-def q17_skip_limit(spark, sf):
-    """F6/O4: deterministic offset/limit slice."""
-    return (
-        _sf(sf)(spark, "orders")
-        .orderBy("o_orderkey")
-        .offset(100)
-        .limit(50)
-        .select("o_orderkey", "o_orderstatus")
-    )
-
-
 def q18_grouped_minmax(spark, sf):
     """A3/A6: grouped extrema."""
     e = _sf(sf)(spark, "events")
@@ -356,6 +356,67 @@ def q33_rollup(spark, sf):
     return (
         t.rollup("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q55_pdf_extract(spark, sf):
+    """PDF/layout-parse modality (the north rule's third extraction
+    modality beside HTML strip + DOM heuristics; the reference has no
+    PDF path at all — it consumes pre-rendered page images,
+    donut/util.py:113).
+
+    Every document's expected interleaved span sequence is written as a
+    REAL classic-xref PDF by the from-scratch writer (core/pdf.py):
+    positioned text show-ops + image-XObject /Do ops on a closed-form
+    two-column grid, encoding variants rotating per doc (Tm vs composed
+    Td, TJ kern splits, hex strings, two-stream /Contents, Flate vs raw,
+    UTF-16BE text strings), and — the point — EMISSION ORDER SHUFFLED,
+    so only a parser that recovers reading order from device-space
+    layout (page, top-to-bottom line, left-to-right x) can win. The
+    extractor (operators/pdfparse.py) parses the bytes back through the
+    real xref/object/content-stream interpreter and the oracle
+    recomputes every value (page counts, reading-order text concat,
+    media-ref order, coordinate sums) from the spans fixture with pure
+    grid arithmetic — zero PDF code on the SQL side.
+
+    Scale shape: synth and parse are both map-only Arrow kernels (no
+    shuffle until the final per-doc agg), so the modality inherits the
+    flagship's embarrassingly-parallel plan at 10^12 docs.
+    """
+    from donut_spark.operators.pdfparse import (
+        extract_pdf_spans,
+        synth_pdf_table,
+    )
+    from donut_spark.sources.fixtures import load_spans
+
+    spans = load_spans(spark, sf).filter(F.col("doc_id").cast("long") < 200)
+    parsed = extract_pdf_spans(synth_pdf_table(spark, spans))
+    ordered = F.array_sort(
+        F.collect_list(F.struct("seq", "kind", "text", "media_ref"))
+    )
+    return parsed.groupBy("doc_id").agg(
+        (F.max("page") + F.lit(1)).cast("int").alias("n_pages"),
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0)).alias("n_text"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias(
+            "n_media"
+        ),
+        F.array_join(
+            F.transform(
+                F.filter(ordered, lambda s: s.kind == "text"),
+                lambda s: s.text,
+            ),
+            "\n",
+        ).alias("reading_text"),
+        F.array_join(
+            F.transform(
+                F.filter(ordered, lambda s: s.kind == "media"),
+                lambda s: s.media_ref,
+            ),
+            ",",
+        ).alias("refs_concat"),
+        F.sum("x").cast("long").alias("x_sum"),
+        F.sum("y").cast("long").alias("y_sum"),
+        F.sum("size").cast("long").alias("size_sum"),
     )
 
 
@@ -1124,7 +1185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_regex_filter": q13_regex_filter,
         "q14_token_stats": q14_token_stats,
         "q15_exact_dup_clusters": q15_exact_dup_clusters,
-        "q17_skip_limit": q17_skip_limit,
         "q18_grouped_minmax": q18_grouped_minmax,
         "q19_window_avg_filter": q19_window_avg_filter,
         "q20_cosine_scores": q20_cosine_scores,
@@ -1159,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_ann_ivfadc": q53_ann_ivfadc,
         "q54_ann_ivfadc_pruned": q54_ann_ivfadc_pruned,
         "q35_string_funcs": q35_string_funcs,
+        "q55_pdf_extract": q55_pdf_extract,
     }
 
 
@@ -1261,7 +1322,8 @@ def _oracle_sql_for(
             )
         """,
         "q06_distinct_sort": """
-            SELECT DISTINCT p_brand FROM part ORDER BY p_brand
+            SELECT DISTINCT p_type FROM part ORDER BY p_type
+            LIMIT 50 OFFSET 20
         """,
         "q07_window_first": """
             SELECT user_id, event_type AS first_event, event_id FROM (
@@ -1320,10 +1382,6 @@ def _oracle_sql_for(
             SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
-        "q17_skip_limit": """
-            SELECT o_orderkey, o_orderstatus FROM orders
-            ORDER BY o_orderkey LIMIT 50 OFFSET 100
-        """,
         "q18_grouped_minmax": """
             SELECT event_type, round(max(value), 4) AS max_value,
                    round(min(value), 4) AS min_value, count(*) AS n
@@ -1373,6 +1431,48 @@ def _oracle_sql_for(
                    string_split(text, ' ')[1] AS key, count(*) AS n,
                    round(avg(length(text)), 4) AS avg_len
             FROM documents GROUP BY 2
+        """,
+        # q55: the PDF bytes never touch SQL — the oracle replays the
+        # writer's closed-form grid (operators/pdfparse.py layout
+        # constants: K = 3 + num % 4 rows/page, two columns, y = 720 -
+        # 36*row, x = 72 + 240*col, size = 10 + i % 5) over the spans
+        # fixture's expected arrays; reading order is slot order by
+        # construction, so any parser/layout-sort bug breaks equality
+        "q55_pdf_extract": f"""
+            WITH ex AS (
+              SELECT doc_id, CAST(doc_id AS BIGINT) AS num,
+                     unnest(expected) AS s,
+                     generate_subscripts(expected, 1) - 1 AS i
+              FROM read_parquet('{fx}')
+              WHERE CAST(doc_id AS BIGINT) < 200
+            ), geo AS (
+              SELECT doc_id, i, s.kind AS kind, s.text AS text,
+                     s.media_ref AS media_ref,
+                     ((i // 2) // (3 + num % 4)) AS page,
+                     CAST(72 + 240 * (i % 2) AS DOUBLE) AS x,
+                     CAST(720 - 36 * ((i // 2) % (3 + num % 4)) AS DOUBLE)
+                         AS y,
+                     CASE WHEN s.kind = 'text'
+                          THEN CAST(10 + i % 5 AS DOUBLE)
+                          ELSE 0.0 END AS size
+              FROM ex
+            )
+            SELECT doc_id,
+                   CAST(max(page) + 1 AS INT) AS n_pages,
+                   CAST(count(*) FILTER (WHERE kind = 'text') AS BIGINT)
+                       AS n_text,
+                   CAST(count(*) FILTER (WHERE kind = 'media') AS BIGINT)
+                       AS n_media,
+                   COALESCE(string_agg(CASE WHEN kind = 'text' THEN text END,
+                                       chr(10) ORDER BY i), '')
+                       AS reading_text,
+                   COALESCE(string_agg(
+                       CASE WHEN kind = 'media' THEN media_ref END,
+                       ',' ORDER BY i), '') AS refs_concat,
+                   CAST(sum(x) AS BIGINT) AS x_sum,
+                   CAST(sum(y) AS BIGINT) AS y_sum,
+                   CAST(sum(size) AS BIGINT) AS size_sum
+            FROM geo GROUP BY doc_id
         """,
         "q39_resume_antifilter": """
             SELECT doc_id % 16 AS bucket, count(*) AS n_docs

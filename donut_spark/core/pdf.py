@@ -1,0 +1,820 @@
+"""From-scratch PDF subset codec: writer + layout-aware span extractor.
+
+The north rule names "PDF/layout parse" as one of the three extraction
+modalities (alongside HTML boilerplate strip and DOM heuristics). The
+reference repo (jireh-father/donut) has no PDF code at all — it consumes
+page *images* (donut/util.py loads pre-rendered JPEGs); this module is
+the engine's native-document twin of that path, built from the public
+PDF 1.4 spec (ISO 32000-1 subset), the same discipline as core/png.py,
+core/jpeg.py and core/vp8.py: a real decoder for the format subset the
+synth writer emits, poison-row ``ValueError`` for everything outside it.
+
+Scope (documented, quarantine-guarded like the other codecs):
+
+* classic cross-reference TABLES with ``/Prev`` chains — PDF 1.5+
+  cross-reference *streams* raise ``ValueError`` (quarantine path);
+* ``/FlateDecode`` filters (stdlib zlib); any other filter or a
+  ``/DecodeParms`` predictor raises;
+* encrypted documents (``/Encrypt`` in the trailer) raise;
+* text strings in PDFDocEncoding (latin-1 range) or BOM-marked
+  UTF-16BE — both spec-conformant "text string" encodings;
+* the text-positioning subset of the content-stream operator set:
+  ``BT ET Tf Td TD Tm T* TL Tj TJ ' "`` plus graphics state ``q Q cm``
+  and image placement ``Do`` (interleaved media spans); every other
+  operator just consumes its operands.
+
+The extractor emits one span per show/``Do`` operator with its
+*device-space* origin, in the stream's EMISSION order;
+:func:`reading_order` then recovers human reading order by (page, line
+top-to-bottom, x left-to-right) — PDF y grows upward, and nothing in
+the format requires ops to be emitted in reading order (real generators
+interleave columns, headers and footers), which is exactly why the
+layout sort is a real step and the synth writer deliberately shuffles
+emission order.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+import zlib
+from typing import Dict, List, Optional, Tuple, Union
+
+PDF_HEADER = b"%PDF-1."
+
+# span tuple: (kind, x, y, size, payload)
+#   kind = "text"  → payload is the decoded string, size the font size
+#   kind = "media" → payload is the XObject resource name (media_ref),
+#                    size is 0.0
+Span = Tuple[str, float, float, float, str]
+
+# ---------------------------------------------------------------------------
+# object model
+# ---------------------------------------------------------------------------
+
+
+class Ref:
+    """Indirect reference ``n g R``."""
+
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int = 0):
+        self.num, self.gen = num, gen
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Ref({self.num},{self.gen})"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Ref)
+            and (self.num, self.gen) == (other.num, other.gen)
+        )
+
+    def __hash__(self):
+        return hash((self.num, self.gen))
+
+
+class Name(str):
+    """PDF name object ``/Foo`` (distinct from strings)."""
+
+
+class Stream:
+    """Stream object: its dict plus RAW (still-encoded) bytes."""
+
+    __slots__ = ("d", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.d, self.raw = d, raw
+
+
+PdfObj = Union[None, bool, int, float, bytes, Name, list, dict, Ref, Stream]
+
+_WHITESPACE = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+# ---------------------------------------------------------------------------
+# lexer / object parser
+# ---------------------------------------------------------------------------
+
+
+class _Lexer:
+    """Single-pass object lexer over raw PDF bytes (file or content)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.b = data
+        self.i = pos
+
+    def _skip_ws(self) -> None:
+        b, i, n = self.b, self.i, len(self.b)
+        while i < n:
+            c = b[i]
+            if c == 0x25:  # % comment to end of line
+                while i < n and b[i] not in (0x0D, 0x0A):
+                    i += 1
+            elif b[i : i + 1] in _WHITESPACE:
+                i += 1
+            else:
+                break
+        self.i = i
+
+    def _read_token_word(self) -> bytes:
+        """A bare keyword token (obj/endobj/stream/R/true/BT/Tj/...)."""
+        self._skip_ws()
+        b, i, n = self.b, self.i, len(self.b)
+        j = i
+        while (
+            j < n
+            and b[j : j + 1] not in _WHITESPACE
+            and b[j : j + 1] not in _DELIM
+        ):
+            j += 1
+        self.i = j
+        return b[i:j]
+
+    # -- terminals ----------------------------------------------------------
+
+    _NUM_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
+
+    def _read_number(self, allow_ref: bool = True) -> Union[int, float, Ref]:
+        m = self._NUM_RE.match(self.b, self.i)
+        if not m:
+            raise ValueError(f"pdf: bad number at {self.i}")
+        tok = m.group(0)
+        self.i = m.end()
+        if b"." in tok:
+            return float(tok)
+        val = int(tok)
+        if not allow_ref:
+            return val
+        # lookahead for "<gen> R" (indirect reference)
+        save = self.i
+        self._skip_ws()
+        m2 = self._NUM_RE.match(self.b, self.i)
+        if m2 and b"." not in m2.group(0):
+            self.i = m2.end()
+            if self._read_token_word() == b"R":
+                return Ref(val, int(m2.group(0)))
+        self.i = save
+        return val
+
+    def _read_name(self) -> Name:
+        assert self.b[self.i : self.i + 1] == b"/"
+        b, n = self.b, len(self.b)
+        i = self.i + 1
+        out = bytearray()
+        while (
+            i < n
+            and b[i : i + 1] not in _WHITESPACE
+            and b[i : i + 1] not in _DELIM
+        ):
+            if b[i] == 0x23 and i + 2 < n:  # #xx hex escape
+                out.append(int(b[i + 1 : i + 3], 16))
+                i += 3
+            else:
+                out.append(b[i])
+                i += 1
+        self.i = i
+        return Name(out.decode("latin-1"))
+
+    _OCTAL = frozenset(b"01234567")
+    _ESC = {
+        ord("n"): b"\n",
+        ord("r"): b"\r",
+        ord("t"): b"\t",
+        ord("b"): b"\b",
+        ord("f"): b"\x0c",
+        ord("("): b"(",
+        ord(")"): b")",
+        ord("\\"): b"\\",
+    }
+
+    def _read_literal_string(self) -> bytes:
+        assert self.b[self.i : self.i + 1] == b"("
+        b, n = self.b, len(self.b)
+        i = self.i + 1
+        depth = 1
+        out = bytearray()
+        while i < n:
+            c = b[i]
+            if c == 0x5C:  # backslash
+                if i + 1 >= n:
+                    raise ValueError("pdf: string runs off end")
+                nxt = b[i + 1]
+                if nxt in self._OCTAL:
+                    j = i + 1
+                    oct_digits = bytearray()
+                    while j < n and len(oct_digits) < 3 and b[j] in self._OCTAL:
+                        oct_digits.append(b[j])
+                        j += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                    i = j
+                elif nxt in (0x0D, 0x0A):  # line continuation
+                    i += 2
+                    if nxt == 0x0D and i < n and b[i] == 0x0A:
+                        i += 1
+                else:
+                    out += self._ESC.get(nxt, b[i + 1 : i + 2])
+                    i += 2
+                continue
+            if c == 0x28:  # (
+                depth += 1
+            elif c == 0x29:  # )
+                depth -= 1
+                if depth == 0:
+                    self.i = i + 1
+                    return bytes(out)
+            out.append(c)
+            i += 1
+        raise ValueError("pdf: unterminated literal string")
+
+    def _read_hex_string(self) -> bytes:
+        assert self.b[self.i : self.i + 1] == b"<"
+        end = self.b.find(b">", self.i + 1)
+        if end < 0:
+            raise ValueError("pdf: unterminated hex string")
+        hx = bytes(
+            c for c in self.b[self.i + 1 : end] if bytes([c]) not in _WHITESPACE
+        )
+        self.i = end + 1
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+
+    # -- composite ----------------------------------------------------------
+
+    def read_obj(self, allow_ref: bool = True) -> PdfObj:
+        self._skip_ws()
+        c = self.b[self.i : self.i + 1]
+        if not c:
+            raise ValueError("pdf: unexpected EOF")
+        if c == b"<":
+            if self.b[self.i : self.i + 2] == b"<<":
+                return self._read_dict(allow_ref)
+            return self._read_hex_string()
+        if c == b"(":
+            return self._read_literal_string()
+        if c == b"/":
+            return self._read_name()
+        if c == b"[":
+            self.i += 1
+            arr: list = []
+            while True:
+                self._skip_ws()
+                if self.b[self.i : self.i + 1] == b"]":
+                    self.i += 1
+                    return arr
+                arr.append(self.read_obj(allow_ref))
+        if c in b"+-.0123456789":
+            return self._read_number(allow_ref)
+        word = self._read_token_word()
+        if word == b"true":
+            return True
+        if word == b"false":
+            return False
+        if word == b"null":
+            return None
+        raise ValueError(f"pdf: unexpected token {word!r} at {self.i}")
+
+    def _read_dict(self, allow_ref: bool = True) -> dict:
+        assert self.b[self.i : self.i + 2] == b"<<"
+        self.i += 2
+        d: dict = {}
+        while True:
+            self._skip_ws()
+            if self.b[self.i : self.i + 2] == b">>":
+                self.i += 2
+                return d
+            key = self.read_obj(allow_ref)
+            if not isinstance(key, Name):
+                raise ValueError("pdf: dict key is not a name")
+            d[str(key)] = self.read_obj(allow_ref)
+
+
+# ---------------------------------------------------------------------------
+# document reader
+# ---------------------------------------------------------------------------
+
+
+class PdfDocument:
+    """Random-access reader over classic-xref PDF bytes."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(PDF_HEADER):
+            raise ValueError("pdf: bad header")
+        self.b = data
+        self._cache: Dict[int, PdfObj] = {}
+        self.xref: Dict[int, int] = {}
+        self.trailer: dict = {}
+        self._load_xref()
+        if "Encrypt" in self.trailer:
+            raise ValueError("pdf: encrypted documents unsupported")
+
+    # -- xref ---------------------------------------------------------------
+
+    def _load_xref(self) -> None:
+        tail = self.b[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise ValueError("pdf: no startxref")
+        off: Optional[int] = int(m.group(1))
+        seen = set()
+        while off is not None:
+            if off in seen or off >= len(self.b):
+                raise ValueError("pdf: bad xref chain")
+            seen.add(off)
+            off = self._load_xref_section(off)
+
+    def _load_xref_section(self, off: int) -> Optional[int]:
+        lx = _Lexer(self.b, off)
+        if lx._read_token_word() != b"xref":
+            # an integer object header here would be a 1.5+ xref STREAM
+            raise ValueError("pdf: cross-reference streams unsupported")
+        while True:
+            save = lx.i
+            word = lx._read_token_word()
+            if word == b"trailer":
+                break
+            lx.i = save
+            first = lx.read_obj()
+            count = lx.read_obj()
+            if not isinstance(first, int) or not isinstance(count, int):
+                raise ValueError("pdf: bad xref subsection header")
+            lx._skip_ws()
+            for k in range(count):
+                entry = self.b[lx.i : lx.i + 20]
+                if len(entry) < 18:
+                    raise ValueError("pdf: truncated xref entry")
+                eoff, kind = entry[:10], entry[17:18]
+                if kind == b"n":
+                    # sections are visited newest-first (startxref, then
+                    # /Prev links) — the first offset seen wins
+                    self.xref.setdefault(first + k, int(eoff))
+                elif kind != b"f":
+                    raise ValueError("pdf: bad xref entry kind")
+                lx.i += 20
+        trailer = lx.read_obj()
+        if not isinstance(trailer, dict):
+            raise ValueError("pdf: bad trailer")
+        for k, v in trailer.items():
+            self.trailer.setdefault(k, v)
+        prev = trailer.get("Prev")
+        return int(prev) if isinstance(prev, int) else None
+
+    # -- objects ------------------------------------------------------------
+
+    def obj(self, ref: Ref) -> PdfObj:
+        if ref.num in self._cache:
+            return self._cache[ref.num]
+        off = self.xref.get(ref.num)
+        if off is None:
+            return None  # free / missing object resolves to null per spec
+        lx = _Lexer(self.b, off)
+        num = lx.read_obj(allow_ref=False)
+        gen = lx.read_obj(allow_ref=False)
+        if num != ref.num or not isinstance(gen, int):
+            raise ValueError(f"pdf: xref offset for obj {ref.num} is wrong")
+        if lx._read_token_word() != b"obj":
+            raise ValueError("pdf: missing obj keyword")
+        val = lx.read_obj()
+        save = lx.i
+        word = lx._read_token_word()
+        if word == b"stream":
+            if not isinstance(val, dict):
+                raise ValueError("pdf: stream without dict")
+            i = lx.i  # EOL after 'stream' is CRLF or LF
+            if self.b[i : i + 2] == b"\r\n":
+                i += 2
+            elif self.b[i : i + 1] == b"\n":
+                i += 1
+            length = self.resolve(val.get("Length"))
+            if not isinstance(length, int) or i + length > len(self.b):
+                raise ValueError("pdf: stream /Length bad or truncated")
+            val = Stream(val, self.b[i : i + length])
+        else:
+            lx.i = save
+        self._cache[ref.num] = val
+        return val
+
+    def resolve(self, v: PdfObj, depth: int = 0) -> PdfObj:
+        while isinstance(v, Ref):
+            if depth > 32:
+                raise ValueError("pdf: reference cycle")
+            v, depth = self.obj(v), depth + 1
+        return v
+
+    # -- streams ------------------------------------------------------------
+
+    def stream_data(self, s: Stream) -> bytes:
+        filt = self.resolve(s.d.get("Filter"))
+        parms = self.resolve(s.d.get("DecodeParms"))
+        if parms not in (None, [], {}):
+            raise ValueError("pdf: DecodeParms unsupported")
+        if filt is None:
+            return s.raw
+        filters = filt if isinstance(filt, list) else [filt]
+        data = s.raw
+        for f in filters:
+            f = self.resolve(f)
+            if f == Name("FlateDecode"):
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as e:
+                    raise ValueError(f"pdf: bad flate stream: {e}") from e
+            else:
+                raise ValueError(f"pdf: filter {f!r} unsupported")
+        return data
+
+    # -- page tree ----------------------------------------------------------
+
+    def pages(self) -> List[dict]:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise ValueError("pdf: no document catalog")
+        out: List[dict] = []
+
+        def walk(node: PdfObj, depth: int) -> None:
+            node = self.resolve(node)
+            if not isinstance(node, dict) or depth > 32:
+                raise ValueError("pdf: bad page tree")
+            t = node.get("Type")
+            if t == Name("Pages"):
+                kids = self.resolve(node.get("Kids"))
+                if not isinstance(kids, list):
+                    raise ValueError("pdf: /Pages without /Kids")
+                for kid in kids:
+                    walk(kid, depth + 1)
+            elif t == Name("Page"):
+                out.append(node)
+            else:
+                raise ValueError("pdf: bad page-tree node type")
+
+        walk(root.get("Pages"), 0)
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        parts = contents if isinstance(contents, list) else [contents]
+        out = []
+        for p in parts:
+            p = self.resolve(p)
+            if not isinstance(p, Stream):
+                raise ValueError("pdf: page /Contents is not a stream")
+            out.append(self.stream_data(p))
+        # multiple streams on one page form a single token sequence
+        return b"\n".join(out)
+
+    def page_xobjects(self, page: dict) -> Dict[str, Tuple[int, int]]:
+        """Image XObject resource names → (width, height) for a page."""
+        res = self.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return {}
+        xo = self.resolve(res.get("XObject"))
+        if not isinstance(xo, dict):
+            return {}
+        out: Dict[str, Tuple[int, int]] = {}
+        for name, ref in xo.items():
+            s = self.resolve(ref)
+            if not isinstance(s, Stream) or s.d.get("Subtype") != Name(
+                "Image"
+            ):
+                raise ValueError(f"pdf: XObject /{name} is not an image")
+            w = self.resolve(s.d.get("Width"))
+            h = self.resolve(s.d.get("Height"))
+            if not isinstance(w, int) or not isinstance(h, int):
+                raise ValueError("pdf: image XObject without dims")
+            out[str(name)] = (w, h)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# content-stream interpreter
+# ---------------------------------------------------------------------------
+
+
+def _mat_mul(a, b):
+    """2D affine as (a b c d e f): row-vector convention, a×b."""
+    return (
+        a[0] * b[0] + a[1] * b[2],
+        a[0] * b[1] + a[1] * b[3],
+        a[2] * b[0] + a[3] * b[2],
+        a[2] * b[1] + a[3] * b[3],
+        a[4] * b[0] + a[5] * b[2] + b[4],
+        a[4] * b[1] + a[5] * b[3] + b[5],
+    )
+
+
+_IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _decode_text(raw: bytes) -> str:
+    """PDF text string: BOM-marked UTF-16BE, else PDFDocEncoding (the
+    latin-1 range is byte-identical for our subset)."""
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be")
+    return raw.decode("latin-1")
+
+
+def extract_page_spans(
+    content: bytes,
+    xobjects: Optional[Dict[str, Tuple[int, int]]] = None,
+) -> List[Span]:
+    """Interpret one page's content stream → spans in EMISSION order
+    (device space; y grows upward)."""
+    lx = _Lexer(content)
+    spans: List[Span] = []
+    stack: list = []
+    ctm = _IDENT
+    gs_stack: list = []
+    tm = tlm = _IDENT
+    size = 0.0
+    leading = 0.0
+    in_text = False
+    n = len(content)
+
+    def show(raw: bytes) -> None:
+        if not in_text:
+            raise ValueError("pdf: text shown outside BT/ET")
+        m = _mat_mul(tm, ctm)
+        eff = size * (m[1] * m[1] + m[3] * m[3]) ** 0.5
+        spans.append(("text", m[4], m[5], eff, _decode_text(raw)))
+
+    def next_line(tx: float, ty: float) -> Tuple[tuple, tuple]:
+        new = _mat_mul((1.0, 0.0, 0.0, 1.0, tx, ty), tlm)
+        return new, new
+
+    while True:
+        lx._skip_ws()
+        if lx.i >= n:
+            break
+        c = content[lx.i : lx.i + 1]
+        if c in b"(<[/+-.0123456789":
+            # operand: number/string/array/name/dict (content streams
+            # carry no indirect refs per spec)
+            stack.append(lx.read_obj(allow_ref=False))
+            continue
+        op = lx._read_token_word()
+        if not op:
+            break
+        if op == b"BT":
+            in_text, tm, tlm = True, _IDENT, _IDENT
+        elif op == b"ET":
+            in_text = False
+        elif op == b"Tf":
+            size = float(stack[-1])
+        elif op == b"TL":
+            leading = float(stack[-1])
+        elif op == b"Td":
+            tm, tlm = next_line(float(stack[-2]), float(stack[-1]))
+        elif op == b"TD":
+            leading = -float(stack[-1])
+            tm, tlm = next_line(float(stack[-2]), float(stack[-1]))
+        elif op == b"Tm":
+            tm = tlm = tuple(float(v) for v in stack[-6:])
+        elif op == b"T*":
+            tm, tlm = next_line(0.0, -leading)
+        elif op == b"Tj":
+            show(stack[-1])
+        elif op == b"'":
+            tm, tlm = next_line(0.0, -leading)
+            show(stack[-1])
+        elif op == b'"':
+            tm, tlm = next_line(0.0, -leading)
+            show(stack[-1])
+        elif op == b"TJ":
+            arr = stack[-1]
+            if not isinstance(arr, list):
+                raise ValueError("pdf: TJ operand is not an array")
+            # string pieces of one TJ are a single logical show; join
+            # the raw bytes BEFORE decoding (kern numbers interleave
+            # arbitrarily, including inside multi-byte sequences)
+            show(b"".join(p for p in arr if isinstance(p, bytes)))
+        elif op == b"Do":
+            name = stack[-1]
+            if not isinstance(name, Name):
+                raise ValueError("pdf: Do operand is not a name")
+            if xobjects is not None and str(name) not in xobjects:
+                raise ValueError(f"pdf: undefined XObject /{name}")
+            spans.append(("media", ctm[4], ctm[5], 0.0, str(name)))
+        elif op == b"q":
+            gs_stack.append(ctm)
+        elif op == b"Q":
+            ctm = gs_stack.pop() if gs_stack else _IDENT
+        elif op == b"cm":
+            ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+        # every other operator just consumes its operands
+        stack.clear()
+    return spans
+
+
+def reading_order(spans: List[Span], line_tol: float = 2.0) -> List[Span]:
+    """Recover reading order: lines top-to-bottom (PDF y grows upward),
+    then left-to-right within a line. ``line_tol`` merges spans whose
+    baselines differ by less than a couple of device units (real
+    generators jitter baselines by fractions of a point)."""
+    if not spans:
+        return []
+    by_y = sorted(spans, key=lambda s: -s[2])
+    lines: List[List[Span]] = []
+    cur_y: Optional[float] = None
+    for s in by_y:
+        if cur_y is None or cur_y - s[2] > line_tol:
+            lines.append([s])
+            cur_y = s[2]
+        else:
+            lines[-1].append(s)
+    out: List[Span] = []
+    for line in lines:
+        out.extend(sorted(line, key=lambda s: (s[1], s[4])))
+    return out
+
+
+def parse_pdf_spans(data: bytes) -> List[List[Span]]:
+    """bytes → per-page spans in READING order (the public entrypoint)."""
+    doc = PdfDocument(data)
+    return [
+        reading_order(
+            extract_page_spans(doc.page_content(p), doc.page_xobjects(p))
+        )
+        for p in doc.pages()
+    ]
+
+
+# ---------------------------------------------------------------------------
+# writer (the deterministic synth twin)
+# ---------------------------------------------------------------------------
+
+
+def _esc_literal(raw: bytes) -> bytes:
+    out = bytearray()
+    for c in raw:
+        if c in b"()\\":
+            out += b"\\" + bytes([c])
+        elif c == 0x0A:
+            out += b"\\n"
+        elif c == 0x0D:
+            out += b"\\r"
+        else:
+            out.append(c)
+    return bytes(out)
+
+
+def _fmt_num(v: float) -> bytes:
+    if float(v).is_integer():
+        return str(int(v)).encode()
+    return (f"{v:.4f}").rstrip("0").rstrip(".").encode()
+
+
+def _text_bytes(text: str) -> bytes:
+    try:
+        return text.encode("latin-1")
+    except UnicodeEncodeError:
+        return b"\xfe\xff" + text.encode("utf-16-be")
+
+
+# a real 4x4 RGB image payload: the shared synth XObject every media
+# span's /Do references (content is a fixed gradient; dims carried in
+# the stream dict are what the extractor validates)
+_IMG_W = _IMG_H = 4
+_IMG_SAMPLES = bytes(
+    (x * 13 + y * 29 + c * 7) % 256
+    for y in range(_IMG_H)
+    for x in range(_IMG_W)
+    for c in range(3)
+)
+
+
+def encode_pdf(
+    pages: List[List[Span]],
+    *,
+    compress: bool = False,
+    seed: int = 0,
+    variant: int = 0,
+) -> bytes:
+    """Write a classic-xref PDF carrying the given positioned spans.
+
+    ``variant`` selects spec-equivalent encodings the parser must all
+    handle (0: ``Tm`` + literal ``Tj``; 1: composed ``Td`` deltas and a
+    two-stream /Contents array; 2: ``TJ`` arrays with kern splits; 3:
+    hex strings); emission order within each page is shuffled by
+    ``seed`` so reading order is NOT stream order — the extractor's
+    layout sort has to earn it.
+    """
+    rng = random.Random(seed)
+    objs: Dict[int, bytes] = {}
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    img_num = 4
+    img_data = zlib.compress(_IMG_SAMPLES, 6)
+    objs[img_num] = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n"
+        % (_IMG_W, _IMG_H, len(img_data))
+        + img_data
+        + b"\nendstream"
+    )
+
+    next_num = 5
+    page_nums: List[int] = []
+    for spans in pages:
+        order = list(range(len(spans)))
+        rng.shuffle(order)
+        chunks: List[bytes] = []
+        media_names: List[str] = []
+        for si in order:
+            kind, x, y, size, payload = spans[si]
+            if kind == "media":
+                media_names.append(payload)
+                name = payload.encode("latin-1")
+                chunks.append(
+                    b"q 1 0 0 1 %s %s cm /%s Do Q\n"
+                    % (_fmt_num(x), _fmt_num(y), name)
+                )
+                continue
+            raw = _text_bytes(payload)
+            body = bytearray(b"BT /F1 %s Tf " % _fmt_num(size))
+            if variant % 4 == 1:
+                # two relative moves composing to (x, y)
+                body += b"%s %s Td 7 -11 Td " % (
+                    _fmt_num(x - 7),
+                    _fmt_num(y + 11),
+                )
+            else:
+                body += b"1 0 0 1 %s %s Tm " % (_fmt_num(x), _fmt_num(y))
+            if variant % 4 == 2 and len(raw) >= 2:
+                cut = len(raw) // 2
+                body += b"[(%s) -12 (%s)] TJ" % (
+                    _esc_literal(raw[:cut]),
+                    _esc_literal(raw[cut:]),
+                )
+            elif variant % 4 == 3:
+                body += b"<%s> Tj" % raw.hex().encode()
+            else:
+                body += b"(%s) Tj" % _esc_literal(raw)
+            body += b" ET\n"
+            chunks.append(bytes(body))
+
+        def _stream_obj(data: bytes) -> bytes:
+            if compress:
+                data = zlib.compress(data, 6)
+                sd = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+            else:
+                sd = b"<< /Length %d >>" % len(data)
+            return sd + b"\nstream\n" + data + b"\nendstream"
+
+        if variant % 4 == 1 and len(chunks) > 1:
+            # exercise the /Contents-array path: split at an op boundary
+            cut = len(chunks) // 2
+            cnum1, cnum2 = next_num, next_num + 1
+            objs[cnum1] = _stream_obj(b"".join(chunks[:cut]))
+            objs[cnum2] = _stream_obj(b"".join(chunks[cut:]))
+            contents = b"[%d 0 R %d 0 R]" % (cnum1, cnum2)
+            next_num += 2
+        else:
+            cnum = next_num
+            objs[cnum] = _stream_obj(b"".join(chunks))
+            contents = b"%d 0 R" % cnum
+            next_num += 1
+
+        res = b"/Font << /F1 3 0 R >>"
+        if media_names:
+            xo = b" ".join(
+                b"/%s %d 0 R" % (nm.encode("latin-1"), img_num)
+                for nm in sorted(set(media_names))
+            )
+            res += b" /XObject << %s >>" % xo
+        pnum = next_num
+        next_num += 1
+        objs[pnum] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << %s >> /Contents %s >>" % (res, contents)
+        )
+        page_nums.append(pnum)
+
+    kids = b" ".join(b"%d 0 R" % pn for pn in page_nums)
+    objs[2] = b"<< /Type /Pages /Count %d /Kids [%s] >>" % (
+        len(page_nums),
+        kids,
+    )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    max_num = max(objs)
+    offsets: Dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (max_num + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_num + 1, xref_off)
+    )
+    return bytes(out)

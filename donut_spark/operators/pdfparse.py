@@ -1,0 +1,198 @@
+"""PDF layout parsing as a distributed operator (north-rule modality).
+
+The north rule lists "PDF/layout parse" beside HTML boilerplate strip
+and DOM heuristics as a main-content-extraction modality. The reference
+repo has no PDF path (it consumes pre-rendered page images,
+`donut/util.py:113`); this operator is the engine's native-document
+twin: a table of ``(doc_id, content binary)`` PDFs is parsed by the
+from-scratch subset codec in ``core/pdf.py`` into the SAME interleaved
+span sequence ``(kind, text, media_ref, order)`` the rest of the
+pipeline consumes — reading order recovered from device-space layout
+(page, top-to-bottom line, left-to-right x), NOT stream emission order.
+
+Scale shape: the parse is a ``mapInPandas`` Arrow kernel over the
+binary column — map-only, zero shuffle, embarrassingly parallel; the
+poison-row contract (any unsupported construct → a single ``error``
+span row, never a dead stage) is the same one the PNG/JPEG/VP8 codecs
+follow. The synth writer is deterministic in ``doc_id`` alone, so the
+q55 oracle recomputes every page/coordinate/text value from the spans
+fixture with closed-form SQL arithmetic — no PDF code on the SQL side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "PDF_TABLE_SCHEMA",
+    "PDF_SPANS_SCHEMA",
+    "layout_slot",
+    "doc_layout_pages",
+    "synth_pdf_table",
+    "extract_pdf_spans",
+]
+
+PDF_TABLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+PDF_SPANS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("seq", IntegerType()),
+        StructField("page", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+        StructField("size", DoubleType()),
+    ]
+)
+
+# layout constants shared by the writer, the tests and the q55 oracle:
+# slot i of a document's expected-span sequence lands in a two-column
+# grid, K = 3 + num % 4 grid rows per page (num = int(doc_id)):
+#   row = i // 2, col = i % 2
+#   page = row // K,  y = 720 - 36 * (row % K),  x = 72 + 240 * col
+#   size = 10 + i % 5 for text, 0 for media
+_Y0, _DY, _X0, _DX = 720, 36, 72, 240
+
+
+def _k_for(num: int) -> int:
+    return 3 + num % 4
+
+
+def layout_slot(num: int, i: int) -> Tuple[int, float, float]:
+    """slot index → (page, x, y) for doc ``num`` (closed form)."""
+    row, col = divmod(i, 2)
+    k = _k_for(num)
+    return row // k, float(_X0 + _DX * col), float(_Y0 - _DY * (row % k))
+
+
+def doc_layout_pages(num: int, expected: List[tuple]) -> list:
+    """A document's expected spans → per-page positioned span lists in
+    the writer's input shape (core.pdf Span tuples, reading order)."""
+    k = _k_for(num)
+    n_slots = len(expected)
+    n_rows = (n_slots + 1) // 2
+    n_pages = max(1, (n_rows + k - 1) // k)
+    pages: List[list] = [[] for _ in range(n_pages)]
+    for i, sp in enumerate(expected):
+        if isinstance(sp, dict):  # Arrow struct → dict under mapInPandas
+            kind, text, media_ref = sp["kind"], sp["text"], sp["media_ref"]
+        else:
+            kind, text, media_ref = sp[0], sp[1], sp[2]
+        page, x, y = layout_slot(num, i)
+        if kind == "media":
+            pages[page].append(("media", x, y, 0.0, media_ref))
+        else:
+            pages[page].append(("text", x, y, float(10 + i % 5), text))
+    return pages
+
+
+def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
+    """Deterministic PDF table: one real PDF per document.
+
+    Every document's *expected* interleaved span sequence (reading
+    order ground truth) is laid out on the closed-form grid above and
+    written by ``core/pdf.py``'s classic-xref writer. Encoding variants
+    rotate by ``num % 4`` (Tm/Td positioning, TJ kern splits, hex
+    strings, a two-stream /Contents array) and ``num % 2`` picks
+    FlateDecode vs raw streams; emission order inside each page is
+    seed-shuffled so a parser that trusts stream order FAILS the
+    oracle. Deterministic in doc_id alone — stable across partition
+    layouts and cluster sizes.
+    """
+    src = spans_df.select("doc_id", "expected")
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..core.pdf import encode_pdf
+
+        for pdf in batches:
+            rows = []
+            for doc_id, expected in zip(pdf["doc_id"], pdf["expected"]):
+                num = int(doc_id)
+                pages = doc_layout_pages(num, list(expected))
+                content = encode_pdf(
+                    pages,
+                    compress=(num % 2 == 0),
+                    seed=num * 7919 + 13,
+                    variant=num % 4,
+                )
+                rows.append((doc_id, content))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return src.mapInPandas(gen, schema=PDF_TABLE_SCHEMA)
+
+
+def extract_pdf_spans(pdf_df: DataFrame) -> DataFrame:
+    """(doc_id, content) → interleaved spans in READING order.
+
+    ``seq`` is the document-global reading-order index (page-major).
+    Poison rows (encrypted, xref-stream, unsupported filter, truncated,
+    malformed syntax) become a single ``kind='error'`` row carrying the
+    reason in ``text`` — the stage never dies on one bad document; the
+    caller routes those to quarantine exactly like the media codecs'
+    contract (SURVEY §2.1 S11).
+    """
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..core.pdf import parse_pdf_spans
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    pages = parse_pdf_spans(bytes(content))
+                except ValueError as e:
+                    rows.append(
+                        (doc_id, -1, -1, "error", str(e), None, 0.0, 0.0, 0.0)
+                    )
+                    continue
+                seq = 0
+                for pg, spans in enumerate(pages):
+                    for kind, x, y, size, payload in spans:
+                        if kind == "media":
+                            rows.append(
+                                (doc_id, seq, pg, kind, None, payload, x, y, size)
+                            )
+                        else:
+                            rows.append(
+                                (doc_id, seq, pg, kind, payload, None, x, y, size)
+                            )
+                        seq += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "seq",
+                    "page",
+                    "kind",
+                    "text",
+                    "media_ref",
+                    "x",
+                    "y",
+                    "size",
+                ],
+            )
+
+    return pdf_df.mapInPandas(parse, schema=PDF_SPANS_SCHEMA)

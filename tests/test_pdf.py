@@ -1,0 +1,341 @@
+"""PDF subset codec + layout-parse operator tests.
+
+Same discipline as test_png/test_jpeg/test_vp8: roundtrip across every
+writer variant, hand-built streams for operators the writer doesn't
+emit, poison-row contract for everything outside the documented subset,
+hypothesis fuzz, and the Spark operator's span-sequence parity against
+the fixture ground truth.
+"""
+
+import random
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from donut_spark.core.pdf import (
+    PdfDocument,
+    encode_pdf,
+    extract_page_spans,
+    parse_pdf_spans,
+    reading_order,
+)
+
+PAGES = [
+    [
+        ("text", 72.0, 720.0, 12.0, "Hello (world) \\ check"),
+        ("text", 312.0, 720.0, 10.0, "col two"),
+        ("media", 72.0, 684.0, 0.0, "img_7_0"),
+        ("text", 312.0, 684.0, 11.0, "Ünïcödé — ⅰ ⅱ ⅲ"),
+        ("text", 72.0, 648.0, 13.0, "third line"),
+    ],
+    [
+        ("text", 72.0, 720.0, 14.0, "page two line"),
+        ("media", 312.0, 720.0, 0.0, "img_7_1"),
+    ],
+]
+
+
+@pytest.mark.parametrize("variant", [0, 1, 2, 3])
+@pytest.mark.parametrize("compress", [False, True])
+def test_roundtrip_all_variants(variant, compress):
+    data = encode_pdf(
+        PAGES, compress=compress, seed=31 * variant + 5, variant=variant
+    )
+    assert parse_pdf_spans(data) == PAGES
+
+
+def test_emission_order_is_shuffled_but_reading_order_recovered():
+    """The writer's stream order must NOT be reading order (otherwise
+    the layout sort is decorative), yet parse_pdf_spans recovers it."""
+    data = encode_pdf(PAGES, seed=12345, variant=0)
+    doc = PdfDocument(data)
+    page0 = doc.pages()[0]
+    raw = extract_page_spans(doc.page_content(page0), doc.page_xobjects(page0))
+    assert raw != PAGES[0], "seed 12345 should shuffle emission order"
+    assert reading_order(raw) == PAGES[0]
+
+
+def test_empty_page_and_no_text():
+    assert parse_pdf_spans(encode_pdf([[]])) == [[]]
+
+
+def _interp(content: bytes, xobjects=None):
+    return extract_page_spans(content, xobjects)
+
+
+def test_hand_built_operators_td_tstar_quote():
+    content = (
+        b"BT /F1 10 Tf 2 TL 72 700 Td (a) Tj T* (b) Tj "
+        b"(c) ' 0 -8 TD (d) Tj ET"
+    )
+    spans = _interp(content)
+    assert [s[4] for s in spans] == ["a", "b", "c", "d"]
+    assert spans[0][1:3] == (72.0, 700.0)
+    assert spans[1][1:3] == (72.0, 698.0)  # T* moved down by leading 2
+    assert spans[2][1:3] == (72.0, 696.0)  # ' = T* then show
+    assert spans[3][1:3] == (72.0, 688.0)  # TD sets leading and moves
+
+
+def test_hand_built_octal_and_hex_and_tj():
+    spans = _interp(b"BT /F1 9 Tf 10 10 Td [(\\101) <4243> (\\))] TJ ET")
+    assert spans == [("text", 10.0, 10.0, 9.0, "ABC)")]
+
+
+def test_cm_q_Q_transform_stack():
+    content = (
+        b"q 1 0 0 1 100 50 cm BT /F1 8 Tf 10 10 Td (in) Tj ET Q "
+        b"BT /F1 8 Tf 10 10 Td (out) Tj ET"
+    )
+    spans = _interp(content)
+    assert spans[0][:3] == ("text", 110.0, 60.0)
+    assert spans[1][:3] == ("text", 10.0, 10.0)
+
+
+def test_tm_scale_changes_effective_size():
+    spans = _interp(b"BT /F1 10 Tf 2 0 0 2 50 60 Tm (big) Tj ET")
+    assert spans == [("text", 50.0, 60.0, 20.0, "big")]
+
+
+def test_utf16_tj_split_joins_before_decode():
+    """TJ kern splits may land inside a UTF-16 code unit; pieces must be
+    byte-joined before decoding (variant 2 exercises this end to end)."""
+    text = "ⅰⅱⅲ€" * 3
+    pages = [[("text", 72.0, 700.0, 10.0, text)]]
+    data = encode_pdf(pages, variant=2, seed=1)
+    assert parse_pdf_spans(data) == pages
+
+
+def test_reading_order_line_tolerance_and_columns():
+    spans = [
+        ("text", 300.0, 700.5, 9.0, "b"),
+        ("text", 72.0, 700.0, 9.0, "a"),
+        ("text", 72.0, 650.0, 9.0, "c"),
+    ]
+    assert [s[4] for s in reading_order(spans)] == ["a", "b", "c"]
+
+
+def test_incremental_update_prev_chain():
+    """An appended xref section with /Prev must win for re-written
+    objects (newest-first resolution)."""
+    base = encode_pdf([[("text", 72.0, 700.0, 10.0, "old")]], variant=0)
+    doc = PdfDocument(base)
+    page = doc.pages()[0]
+    # object 5 is the (only) content stream in the writer's layout
+    assert doc.resolve(page["Contents"]).d is not None
+    stream = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (new) Tj ET"
+    body = (
+        b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(stream), stream)
+    )
+    old_start = base.rfind(b"startxref")
+    old_xref_off = int(base[old_start:].split()[1])
+    obj_off = len(base)
+    xref_off = obj_off + len(body)
+    update = body + (
+        b"xref\n5 1\n%010d 00000 n \ntrailer\n"
+        b"<< /Size 7 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (obj_off, old_xref_off, xref_off)
+    )
+    assert parse_pdf_spans(base + update) == [
+        [("text", 72.0, 700.0, 10.0, "new")]
+    ]
+
+
+def _swap_nth(data: bytes, old: bytes, new: bytes, n: int) -> bytes:
+    """Replace the n-th (0-based) occurrence of ``old`` only."""
+    i = -1
+    for _ in range(n + 1):
+        i = data.find(old, i + 1)
+        assert i >= 0
+    return data[:i] + new + data[i + len(old) :]
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda d: b"nope" + d[4:], "bad header"),
+        (lambda d: d[:-40], "no startxref"),
+        (
+            lambda d: d.replace(b"/Root", b"/Encrypt 99 0 R /Root"),
+            "encrypted",
+        ),
+        # occurrence 0 is the image XObject (never content-decoded);
+        # occurrence 1 is the first page's content stream
+        (
+            lambda d: _swap_nth(d, b"/FlateDecode", b"/LZWDecodeXX", 1),
+            "unsupported",
+        ),
+    ],
+)
+def test_poison_paths(mutate, msg):
+    data = encode_pdf(PAGES, compress=True, variant=0)
+    with pytest.raises(ValueError, match=msg):
+        parse_pdf_spans(mutate(data))
+
+
+def test_poison_xref_stream_and_bad_syntax():
+    data = encode_pdf(PAGES, variant=0)
+    # point startxref at an object header → the 1.5+ xref-stream shape
+    start = data.rfind(b"startxref")
+    broken = data[:start] + b"startxref\n9\n%%EOF\n"
+    with pytest.raises(ValueError):
+        parse_pdf_spans(broken)
+    with pytest.raises(ValueError, match="outside BT"):
+        _interp(b"(loose) Tj")
+    with pytest.raises(ValueError, match="undefined XObject"):
+        _interp(b"q 1 0 0 1 5 5 cm /missing Do Q", xobjects={})
+    # a /DecodeParms predictor on a content stream (in-place on the
+    # parsed object — splicing bytes would shift later xref offsets and
+    # trip the offset check first)
+    doc = PdfDocument(encode_pdf(PAGES, compress=True))
+    s = doc.resolve(doc.pages()[0]["Contents"])
+    s.d["DecodeParms"] = {"Predictor": 12}
+    with pytest.raises(ValueError, match="DecodeParms"):
+        doc.stream_data(s)
+
+
+def test_truncated_stream_raises():
+    data = encode_pdf(PAGES, compress=True, variant=0)
+    # chop mid-file: either a truncated stream or a broken xref, never a
+    # silent partial parse
+    with pytest.raises(ValueError):
+        parse_pdf_spans(data[: len(data) // 2])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_fuzz_roundtrip(data):
+    rng_seed = data.draw(st.integers(0, 2**31))
+    variant = data.draw(st.integers(0, 3))
+    compress = data.draw(st.booleans())
+    texts = data.draw(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), min_codepoint=1
+                ),
+                min_size=0,
+                max_size=24,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    rng = random.Random(rng_seed)
+    page = []
+    used = set()
+    for i, t in enumerate(texts):
+        # distinct grid positions so reading order is unambiguous
+        while True:
+            pos = (rng.randrange(6), rng.randrange(2))
+            if pos not in used:
+                used.add(pos)
+                break
+        y = 720.0 - 36 * pos[0]
+        x = 72.0 + 240 * pos[1]
+        if rng.random() < 0.2:
+            page.append(("media", x, y, 0.0, f"img_f_{i}"))
+        else:
+            page.append(("text", x, y, float(rng.randint(6, 18)), t))
+    page.sort(key=lambda s: (-s[2], s[1]))
+    pages = [page]
+    out = parse_pdf_spans(
+        encode_pdf(pages, compress=compress, seed=rng_seed, variant=variant)
+    )
+    assert out == pages
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_operator_span_sequence_parity(spark):
+    """synth → real PDF bytes → parse: the recovered interleaved span
+    sequence equals the fixture's expected (kind, text, media_ref,
+    order) EXACTLY for every document — the north rule's per-row
+    invariant, on the PDF modality."""
+    from pyspark.sql import functions as F
+
+    from donut_spark.operators.pdfparse import (
+        extract_pdf_spans,
+        synth_pdf_table,
+    )
+    from donut_spark.sources.fixtures import load_spans
+
+    spans = load_spans(spark, "/root/testdata/sf0.001").filter(
+        F.col("doc_id").cast("long") < 60
+    )
+    out = extract_pdf_spans(synth_pdf_table(spark, spans)).cache()
+    try:
+        assert out.filter(F.col("kind") == "error").count() == 0
+        got = out.select(
+            "doc_id",
+            F.col("seq").alias("i"),
+            "kind",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("media_ref", F.lit("")).alias("media_ref"),
+        )
+        exp = (
+            spans.select(
+                "doc_id", F.posexplode("expected").alias("i", "s")
+            ).select(
+                "doc_id",
+                "i",
+                F.col("s.kind").alias("kind"),
+                F.coalesce("s.text", F.lit("")).alias("text"),
+                F.coalesce("s.media_ref", F.lit("")).alias("media_ref"),
+            )
+        )
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_pdf_operator_quarantines_poison_rows(spark):
+    """One corrupt document yields one kind='error' row; every healthy
+    document still parses — the stage never dies (S11 contract)."""
+    from pyspark.sql import functions as F
+
+    from donut_spark.operators.pdfparse import (
+        extract_pdf_spans,
+        synth_pdf_table,
+    )
+    from donut_spark.sources.fixtures import load_spans
+
+    spans = load_spans(spark, "/root/testdata/sf0.001").filter(
+        F.col("doc_id").cast("long") < 20
+    )
+    pdfs = synth_pdf_table(spark, spans).withColumn(
+        "content",
+        F.when(
+            F.col("doc_id") == "7", F.lit(b"%PDF-1.4 truncated garbage")
+        ).otherwise(F.col("content")),
+    )
+    out = extract_pdf_spans(pdfs).cache()
+    try:
+        errs = out.filter(F.col("kind") == "error")
+        assert errs.count() == 1
+        assert errs.first()["doc_id"] == "7"
+        healthy = out.filter(F.col("kind") != "error")
+        assert healthy.filter(F.col("doc_id") == "7").count() == 0
+        assert healthy.select("doc_id").distinct().count() == 19
+    finally:
+        out.unpersist()
+
+
+def test_layout_pages_arithmetic():
+    from donut_spark.operators.pdfparse import doc_layout_pages, layout_slot
+
+    expected = [("text", f"t{i}", "") for i in range(11)]
+    # num=1 → K=4 rows/page → 8 slots/page
+    pages = doc_layout_pages(1, expected)
+    assert [len(p) for p in pages] == [8, 3]
+    assert layout_slot(1, 0) == (0, 72.0, 720.0)
+    assert layout_slot(1, 1) == (0, 312.0, 720.0)
+    assert layout_slot(1, 8) == (1, 72.0, 720.0)
+    # single-span doc still gets one page
+    assert len(doc_layout_pages(0, [("text", "x", "")])) == 1
