@@ -41,6 +41,7 @@ __all__ = [
     "doc_layout_pages",
     "synth_pdf_table",
     "extract_pdf_spans",
+    "pdf_extract_documents",
 ]
 
 PDF_TABLE_SCHEMA = StructType(
@@ -196,3 +197,45 @@ def extract_pdf_spans(pdf_df: DataFrame) -> DataFrame:
             )
 
     return pdf_df.mapInPandas(parse, schema=PDF_SPANS_SCHEMA)
+
+
+def pdf_extract_documents(
+    spark: SparkSession, spans_df: DataFrame
+) -> DataFrame:
+    """Full PDF-modality round trip in the flagship's input shape.
+
+    spans fixture → real PDF bytes → layout parse → per-document
+    ``extracted`` arrays (kind, text, media_ref, offset — offsets dense
+    in reading order, empty strings where the fixture uses them), joined
+    back onto the input columns. The result is exactly what
+    ``operators.extract.evaluate_extraction`` consumes, so the flagship
+    metrics — span-sequence exact match, token round-trip, nTED — run
+    UNCHANGED over the PDF path; a layout bug surfaces as
+    ``exact_match = 0``, not a schema error.
+
+    Scale shape: two map-only Arrow kernels, one per-doc aggregation,
+    one equi-join back on ``doc_id`` — the join is doc_id↔doc_id on
+    co-partitioned shuffle output, no broadcast needed and no skew
+    (every PDF's span list is the document's own size).
+    """
+    parsed = extract_pdf_spans(synth_pdf_table(spark, spans_df))
+    docs = (
+        parsed.filter(F.col("kind") != "error")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("seq", "kind", "text", "media_ref")
+                    )
+                ),
+                lambda s: F.struct(
+                    s.kind.alias("kind"),
+                    F.coalesce(s.text, F.lit("")).alias("text"),
+                    F.coalesce(s.media_ref, F.lit("")).alias("media_ref"),
+                    s.seq.alias("offset"),
+                ),
+            ).alias("extracted")
+        )
+    )
+    return spans_df.join(docs, "doc_id", "left")

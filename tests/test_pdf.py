@@ -327,6 +327,34 @@ def test_pdf_operator_quarantines_poison_rows(spark):
         out.unpersist()
 
 
+def test_pdf_modality_through_flagship_metrics(spark):
+    """The PDF path plugs into the SAME evaluator as the HTML path:
+    evaluate_extraction over pdf_extract_documents must give
+    exact_match = 1, roundtrip_ok = 1 and nTED = 1.0 for every doc —
+    the north rule's per-row invariant, end to end through real PDF
+    bytes."""
+    from pyspark.sql import functions as F
+
+    from donut_spark.operators.extract import evaluate_extraction
+    from donut_spark.operators.pdfparse import pdf_extract_documents
+    from donut_spark.sources.fixtures import load_spans
+
+    spans = load_spans(spark, "/root/testdata/sf0.001").filter(
+        F.col("doc_id").cast("long") < 40
+    )
+    ev = evaluate_extraction(pdf_extract_documents(spark, spans))
+    agg = ev.agg(
+        F.count("*").alias("n"),
+        F.sum("exact_match").alias("n_exact"),
+        F.sum(F.col("roundtrip_ok").cast("int")).alias("n_rt"),
+        F.min("nted").alias("min_nted"),
+    ).first()
+    assert agg["n"] == 40
+    assert agg["n_exact"] == 40
+    assert agg["n_rt"] == 40
+    assert agg["min_nted"] == pytest.approx(1.0)
+
+
 def test_layout_pages_arithmetic():
     from donut_spark.operators.pdfparse import doc_layout_pages, layout_slot
 
