@@ -42,6 +42,7 @@ __all__ = [
     "synth_pdf_table",
     "extract_pdf_spans",
     "pdf_extract_documents",
+    "pdf_documents_from_table",
 ]
 
 PDF_TABLE_SCHEMA = StructType(
@@ -219,7 +220,15 @@ def pdf_extract_documents(
     (every PDF's span list is the document's own size).
     """
     parsed = extract_pdf_spans(synth_pdf_table(spark, spans_df))
-    docs = (
+    docs = _reassemble_documents(parsed)
+    return spans_df.join(docs, "doc_id", "left")
+
+
+def _reassemble_documents(parsed: DataFrame) -> DataFrame:
+    """Parsed span rows → one row per doc with the ``extracted`` array
+    in the fixture's exact span shape (dense reading-order offsets,
+    empty strings where the fixture uses them)."""
+    return (
         parsed.filter(F.col("kind") != "error")
         .groupBy("doc_id")
         .agg(
@@ -238,4 +247,37 @@ def pdf_extract_documents(
             ).alias("extracted")
         )
     )
-    return spans_df.join(docs, "doc_id", "left")
+
+
+def pdf_documents_from_table(pdf_df: DataFrame) -> DataFrame:
+    """Production-input twin of :func:`pdf_extract_documents`: a table
+    of REAL PDFs ``(doc_id, content binary [, passthrough cols])`` →
+    one row per document with the extracted interleaved span array and
+    an ``_error`` column (null = parsed; non-null = the poison reason)
+    — exactly ``plans.lineage.quarantine_split``'s input shape, so
+    ``submit/run_extract.py --modality pdf`` routes bad documents to
+    quarantine/ and never dies on one (S11). Passthrough columns (e.g.
+    the resume path's ``_bucket``) ride the doc_id join; the PDF bytes
+    are dropped from the output.
+    """
+    parsed = extract_pdf_spans(pdf_df.select("doc_id", "content"))
+    errs = parsed.filter(F.col("kind") == "error").select(
+        "doc_id", F.col("text").alias("_error")
+    )
+    base = pdf_df.drop("content")
+    empty = (
+        "CAST(array() AS array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>)"
+    )
+    return (
+        base.join(_reassemble_documents(parsed), "doc_id", "left")
+        .join(errs, "doc_id", "left")
+        # a VALID zero-span PDF parses to no rows at all: that's an
+        # empty document, not a null one (and not a quarantine case)
+        .withColumn(
+            "extracted",
+            F.when(F.col("_error").isNotNull(), F.col("extracted")).otherwise(
+                F.coalesce("extracted", F.expr(empty))
+            ),
+        )
+    )

@@ -7,11 +7,18 @@
         --input  <spans table path>  \\
         --output <output root>       \\
         [--resume --n-buckets 4096] [--mode doc|span]
+        [--modality spans|pdf]
 
-Input: a table of interleaved documents ``(doc_id string, spans
-array<struct<kind,text,media_ref,offset:int>> [, expected, gt_parse])``
-— parquet or (when the session has an Iceberg catalog configured) an
-Iceberg table name.
+Input (``--modality spans``, default): a table of interleaved documents
+``(doc_id string, spans array<struct<kind,text,media_ref,offset:int>>
+[, expected, gt_parse])`` — parquet or (when the session has an Iceberg
+catalog configured) an Iceberg table name.
+
+Input (``--modality pdf``): a table of native documents ``(doc_id
+string, content binary)`` holding real PDF bytes; the layout parser
+(core/pdf.py via operators/pdfparse.py) recovers the interleaved span
+sequence in reading order, and unparseable documents land in
+quarantine/ with the reason — the job never dies on a poison PDF.
 
 Output layout under ``--output``:
     data/        extracted documents (parquet; ``_bucket=`` partitions in
@@ -39,6 +46,11 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", choices=("doc", "span"), default="doc")
+    ap.add_argument(
+        "--modality", choices=("spans", "pdf"), default="spans",
+        help="input shape: interleaved span tables (default) or native "
+             "PDF bytes parsed by the layout codec",
+    )
     ap.add_argument("--resume", action="store_true",
                     help="bucket-checkpointed idempotent run (S10)")
     ap.add_argument("--n-buckets", type=int, default=256)
@@ -63,6 +75,12 @@ def main() -> None:
     spans = spark.read.parquet(args.input)
 
     def extract(df):
+        if args.modality == "pdf":
+            from donut_spark.operators.pdfparse import (
+                pdf_documents_from_table,
+            )
+
+            return pdf_documents_from_table(df)
         if args.mode == "doc" and "gt_parse" in df.columns:
             return extract_and_evaluate(df)
         out = extract_documents(df, mode=args.mode)

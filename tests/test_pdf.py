@@ -355,6 +355,52 @@ def test_pdf_modality_through_flagship_metrics(spark):
     assert agg["min_nted"] == pytest.approx(1.0)
 
 
+def test_pdf_documents_from_table_contract(spark):
+    """The production-input path: real PDF bytes in, one row per doc
+    with `extracted` + `_error` out — poison quarantined by reason,
+    valid-but-empty PDFs yield an empty array (not null, not an
+    error), healthy docs reassemble the full span sequence."""
+    from pyspark.sql import functions as F
+
+    from donut_spark.core.pdf import encode_pdf
+    from donut_spark.operators.pdfparse import (
+        PDF_TABLE_SCHEMA,
+        pdf_documents_from_table,
+        synth_pdf_table,
+    )
+    from donut_spark.sources.fixtures import load_spans
+
+    # try_cast: the join below makes Catalyst propagate this predicate
+    # to the output side, which carries non-numeric doc_ids (ANSI cast
+    # would throw on 'bad_doc')
+    spans = load_spans(spark, "/root/testdata/sf0.001").filter(
+        F.expr("try_cast(doc_id AS bigint) < 15")
+    )
+    extra = spark.createDataFrame(
+        [
+            ("bad_doc", bytes(b"%PDF-1.4 garbage, no xref")),
+            ("empty_doc", bytes(encode_pdf([[]]))),
+        ],
+        schema=PDF_TABLE_SCHEMA,
+    )
+    out = pdf_documents_from_table(
+        synth_pdf_table(spark, spans).union(extra)
+    ).cache()
+    try:
+        bad = out.filter(F.col("_error").isNotNull())
+        assert [r["doc_id"] for r in bad.collect()] == ["bad_doc"]
+        empty = out.filter(F.col("doc_id") == "empty_doc").first()
+        assert empty["_error"] is None and empty["extracted"] == []
+        # healthy docs: extracted == the fixture's expected, exactly
+        healthy = out.join(spans.select("doc_id", "expected"), "doc_id")
+        n_match = healthy.filter(
+            F.col("extracted") == F.col("expected")
+        ).count()
+        assert n_match == 15
+    finally:
+        out.unpersist()
+
+
 def test_layout_pages_arithmetic():
     from donut_spark.operators.pdfparse import doc_layout_pages, layout_slot
 

@@ -69,6 +69,66 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     assert lineage.agg(F.sum("n_docs")).first()[0] == 30
 
 
+def test_spark_submit_pdf_modality(spark, tmp_path):
+    """--modality pdf deployment shape: native PDF bytes in, extracted
+    span arrays + quarantined poison out, through the shipped zip."""
+    from donut_spark.core.pdf import encode_pdf
+    from donut_spark.operators.pdfparse import (
+        PDF_TABLE_SCHEMA,
+        synth_pdf_table,
+    )
+
+    spans = build_spans_table(spark, SF_SMALL, limit=20)
+    poison = spark.createDataFrame(
+        [("poison_doc", bytes(b"%PDF-1.4 no xref here"))],
+        schema=PDF_TABLE_SCHEMA,
+    )
+    src = str(tmp_path / "pdf_in")
+    synth_pdf_table(spark, spans).union(poison).write.parquet(src)
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "package.py")],
+        capture_output=True, text=True, check=True,
+    )
+    zip_path = out.stdout.strip().splitlines()[-1]
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    out_dir = str(tmp_path / "pdf_out")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_HOME")
+    }
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            os.path.join(REPO, "submit", "run_extract.py"),
+            "--input", src,
+            "--output", out_dir,
+            "--modality", "pdf",
+        ],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "extracted 20 documents" in proc.stdout
+    assert "residual cached rdds: 0" in proc.stdout, proc.stdout[-2000:]
+
+    data = spark.read.parquet(f"{out_dir}/data")
+    assert data.count() == 20
+    # span sequences survive the round trip exactly
+    joined = data.join(spans.select("doc_id", "expected"), "doc_id")
+    assert joined.filter(F.col("extracted") == F.col("expected")).count() == 20
+    bad = spark.read.parquet(f"{out_dir}/quarantine")
+    assert [r["doc_id"] for r in bad.select("doc_id").collect()] == [
+        "poison_doc"
+    ]
+    assert "startxref" in bad.first()["_error"]
+
+
 def test_spark_submit_dedup_pipeline(spark, tmp_path):
     """The composed dedup job ships the same way: exact → LSH → verify →
     components → keepers, via spark-submit --py-files with a scrubbed
