@@ -22,6 +22,7 @@ from ..sources.fixtures import SPANS_TABLE_SCHEMA
 
 __all__ = [
     "stream_extract_from_files",
+    "stream_pdf_extract_from_files",
     "windowed_event_counts",
     "sessionize",
     "streaming_exact_dedup",
@@ -65,6 +66,31 @@ def stream_extract_from_files(
         .parquet(input_dir)
     )
     return extract_documents(source, mode="doc")
+
+
+def stream_pdf_extract_from_files(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Streaming twin of ``run_extract --modality pdf``: a file stream
+    of PDF tables ``(doc_id, content binary)`` parsed incrementally by
+    the layout codec.
+
+    The parse kernel is per-row stateless (``extract_pdf_spans``'s
+    ``mapInPandas``), so no watermark or state store is needed and the
+    batch/stream plans are identical above the source — micro-batch
+    checkpointing gives exactly-once ingest of a landing zone of native
+    documents. Poison PDFs surface as ``kind='error'`` rows in-stream;
+    route them to a quarantine sink with a filter, same contract as the
+    batch path.
+    """
+    from ..operators.pdfparse import PDF_TABLE_SCHEMA, extract_pdf_spans
+
+    source = (
+        spark.readStream.schema(PDF_TABLE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return extract_pdf_spans(source)
 
 
 def windowed_event_counts(

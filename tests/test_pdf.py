@@ -401,6 +401,52 @@ def test_pdf_documents_from_table_contract(spark):
         out.unpersist()
 
 
+def test_streaming_pdf_ingest_matches_batch(spark, tmp_path):
+    """The streaming PDF ingest twin is the same stateless kernel above
+    a file-stream source: per-span rows match the batch parse exactly,
+    and a poison PDF flows through as kind='error' without killing the
+    query."""
+    from pyspark.sql import functions as F
+
+    from donut_spark.core.pdf import encode_pdf
+    from donut_spark.operators.pdfparse import (
+        PDF_TABLE_SCHEMA,
+        extract_pdf_spans,
+        synth_pdf_table,
+    )
+    from donut_spark.sources.fixtures import load_spans
+    from donut_spark.streaming.stream import stream_pdf_extract_from_files
+
+    src = str(tmp_path / "pdf_stream_src")
+    sink = str(tmp_path / "pdf_stream_sink")
+    ckpt = str(tmp_path / "pdf_stream_ckpt")
+    spans = load_spans(spark, "/root/testdata/sf0.001").filter(
+        F.expr("try_cast(doc_id AS bigint) < 30")
+    )
+    poison = spark.createDataFrame(
+        [("poison_doc", bytes(b"%PDF-1.4 but no xref"))],
+        schema=PDF_TABLE_SCHEMA,
+    )
+    pdfs = synth_pdf_table(spark, spans).union(poison)
+    pdfs.write.parquet(src)
+
+    q = (
+        stream_pdf_extract_from_files(spark, src, max_files_per_trigger=2)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    want = extract_pdf_spans(spark.read.parquet(src))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    errs = got.filter(F.col("kind") == "error")
+    assert [r["doc_id"] for r in errs.collect()] == ["poison_doc"]
+
+
 def test_layout_pages_arithmetic():
     from donut_spark.operators.pdfparse import doc_layout_pages, layout_slot
 
