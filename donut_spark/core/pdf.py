@@ -42,6 +42,11 @@ from typing import Dict, List, Optional, Tuple, Union
 
 PDF_HEADER = b"%PDF-1."
 
+# decompressed-size cap per stream: big enough for any real page
+# content (tens of MB of operators), small enough that one poison row
+# can't OOM an executor
+MAX_STREAM_BYTES = 1 << 26  # 64 MiB
+
 # span tuple: (kind, x, y, size, payload)
 #   kind = "text"  → payload is the decoded string, size the font size
 #   kind = "media" → payload is the XObject resource name (media_ref),
@@ -420,7 +425,17 @@ class PdfDocument:
             f = self.resolve(f)
             if f == Name("FlateDecode"):
                 try:
-                    data = zlib.decompress(data)
+                    # bounded decompress: a crafted flate bomb must hit
+                    # the poison-row path, not OOM an executor (same
+                    # guard discipline as core/png.py)
+                    d = zlib.decompressobj()
+                    data = d.decompress(data, MAX_STREAM_BYTES)
+                    if d.unconsumed_tail:
+                        raise ValueError(
+                            "pdf: stream exceeds decompression cap"
+                        )
+                    if not d.eof:
+                        raise ValueError("pdf: truncated flate stream")
                 except zlib.error as e:
                     raise ValueError(f"pdf: bad flate stream: {e}") from e
             else:

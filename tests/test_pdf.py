@@ -196,6 +196,21 @@ def test_poison_xref_stream_and_bad_syntax():
         doc.stream_data(s)
 
 
+def test_flate_bomb_and_truncation_guard():
+    """A flate stream expanding past the cap (or cut short) takes the
+    poison-row path instead of OOMing/partial-parsing (the png.py bomb
+    discipline)."""
+    doc = PdfDocument(encode_pdf(PAGES, compress=True))
+    s = doc.resolve(doc.pages()[0]["Contents"])
+    bomb = zlib.compress(b" " * (1 << 27))  # 128 MiB from a few KB
+    s_bomb = type(s)(dict(s.d), bomb)
+    with pytest.raises(ValueError, match="decompression cap"):
+        doc.stream_data(s_bomb)
+    s_trunc = type(s)(dict(s.d), s.raw[:-4])
+    with pytest.raises(ValueError, match="flate"):
+        doc.stream_data(s_trunc)
+
+
 def test_truncated_stream_raises():
     data = encode_pdf(PAGES, compress=True, variant=0)
     # chop mid-file: either a truncated stream or a broken xref, never a
