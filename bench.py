@@ -37,6 +37,7 @@ HEADLINE = [
     "q52_contamination",
     "q53_ann_ivfadc",
     "q54_ann_ivfadc_pruned",
+    "q55_pdf_extract",
 ]
 
 # persisted-index queries: after the battery (index built + cached on
@@ -182,6 +183,36 @@ def main() -> None:
         results[f"skew_{mode}_mode"] = round(best, 3)
         skew_match[mode] = float(skew_agg["em"])
 
+    # PDF modality throughput (round-5): parse REAL staged PDF bytes for
+    # every battery document back into extracted span arrays
+    # (pdf_documents_from_table = layout parse + reading-order
+    # reassembly). The PDF table is materialized once (synth excluded
+    # from timing); pdf_em pins span-sequence equality vs expected on
+    # the same run. Excluded from `total` like the skew rows.
+    from donut_spark.operators.pdfparse import pdf_documents_from_table
+    from donut_spark.sources.fixtures import materialize_pdf_table
+
+    pdfs = spark.read.parquet(materialize_pdf_table(spark, sf_dir))
+    pdfs.count()  # warm footers
+    expected = load_spans(spark, sf_dir).select("doc_id", "expected")
+    pdf_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pdf_agg = (
+            pdf_documents_from_table(pdfs)
+            .join(expected, "doc_id")
+            .agg(
+                F.count("*").alias("docs"),
+                F.avg(
+                    (F.col("extracted") == F.col("expected")).cast("int")
+                ).alias("em"),
+            )
+            .collect()[0]
+        )
+        pdf_best = min(pdf_best, time.perf_counter() - t0)
+    results["pdf_parse"] = round(pdf_best, 3)
+    pdf_docs_per_sec = pdf_agg["docs"] / pdf_best
+
     # streaming ingest legs (round-4 verdict item 7): sustained docs/s
     # for the stateless contamination filter and the watermark-bounded
     # dedup, plus the per-batch state-row series evidencing bounded
@@ -210,7 +241,9 @@ def main() -> None:
     total = sum(
         results[k]
         for k in results
-        if not k.endswith("_probe_only") and not k.startswith("skew_")
+        if not k.endswith("_probe_only")
+        and not k.startswith("skew_")
+        and k != "pdf_parse"
     )
     print(
         json.dumps(
@@ -226,6 +259,8 @@ def main() -> None:
                 "exact_match_rate": float(agg["em"]),
                 "roundtrip_rate": float(agg["rt"]),
                 "skew_exact_match": skew_match,
+                "pdf_docs_per_sec": round(pdf_docs_per_sec, 2),
+                "pdf_exact_match_rate": float(pdf_agg["em"]),
                 "streaming": streaming,
                 "scaling": scaling,
                 "calibration": {"before": cal_before, "after": cal_after},

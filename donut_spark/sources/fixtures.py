@@ -414,6 +414,28 @@ def materialize_skewed_spans(
     return path
 
 
+def materialize_pdf_table(
+    spark: SparkSession, sf_dir: str, out_root: str = FIXTURES_ROOT
+) -> str:
+    """Write the synthesized PDF table (one real PDF per document, see
+    operators/pdfparse.synth_pdf_table) for ``sf_dir`` once — the staged
+    input for the PDF-modality throughput bench, so only the PARSE is
+    timed, not the synth. Same 32-file sizing rule as
+    :func:`materialize_spans` (map-only parse takes its parallelism
+    from scan splits)."""
+    import os
+
+    from ..operators.pdfparse import synth_pdf_table
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(out_root, f"pdf_{name}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    df = synth_pdf_table(spark, load_spans(spark, sf_dir))
+    df.repartition(32, "doc_id").write.mode("overwrite").parquet(path)
+    return path
+
+
 def materialize_fingerprints(sf_dir: str, out_root: str = FIXTURES_ROOT) -> str:
     """Committed fingerprint fixture for the dedup ORACLES: one row per
     document with the SimHash (Charikar 2002) and MinHash signature
