@@ -539,7 +539,22 @@ def extract_page_spans(
     xobjects: Optional[Dict[str, Tuple[int, int]]] = None,
 ) -> List[Span]:
     """Interpret one page's content stream → spans in EMISSION order
-    (device space; y grows upward)."""
+    (device space; y grows upward).
+
+    Every malformed-stream failure mode surfaces as ``ValueError`` —
+    operand-stack underflow, wrong operand types, short matrices — so
+    the operator layer's single poison-row catch holds for arbitrary
+    garbage (one bad document must never kill a corpus-scale stage)."""
+    try:
+        return _interpret_content(content, xobjects)
+    except (IndexError, TypeError, AttributeError) as e:
+        raise ValueError(f"pdf: malformed content stream: {e!r}") from e
+
+
+def _interpret_content(
+    content: bytes,
+    xobjects: Optional[Dict[str, Tuple[int, int]]] = None,
+) -> List[Span]:
     lx = _Lexer(content)
     spans: List[Span] = []
     stack: list = []

@@ -219,6 +219,45 @@ def test_truncated_stream_raises():
         parse_pdf_spans(data[: len(data) // 2])
 
 
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_fuzz_garbage_content_stream_never_escapes(blob):
+    """Arbitrary bytes as a content stream: either parse or ValueError —
+    never IndexError/TypeError (those would blow past the operator
+    layer's poison-row catch and kill a corpus-scale stage)."""
+    try:
+        extract_page_spans(blob)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 5000))
+def test_fuzz_garbage_document_never_escapes(blob, off):
+    """Arbitrary bytes as a whole file (with a plausible header and
+    startxref so the parse gets past the first checks): ValueError or
+    success, nothing else."""
+    data = b"%PDF-1.4\n" + blob + b"\nstartxref\n%d\n%%%%EOF\n" % off
+    try:
+        parse_pdf_spans(data)
+    except ValueError:
+        pass
+
+
+def test_malformed_operator_streams_raise_valueerror():
+    """Operand underflow / wrong types / short matrices each take the
+    ValueError path, not a bare IndexError/TypeError."""
+    for bad in [
+        b"BT Tj ET",                       # show with empty stack
+        b"BT /F1 9 Tf 5 Tj ET",            # int operand to Tj
+        b"BT /F1 9 Tf 1 2 3 Tm (x) Tj ET",  # short matrix
+        b"BT (x) /nm Tj ET",               # name operand to Tj
+        b"Tf",                              # Tf with nothing
+    ]:
+        with pytest.raises(ValueError):
+            extract_page_spans(bad)
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.data())
 def test_fuzz_roundtrip(data):
