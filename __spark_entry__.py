@@ -366,11 +366,13 @@ def q55_pdf_extract(spark, sf):
     donut/util.py:113).
 
     Every document's expected interleaved span sequence is written as a
-    REAL classic-xref PDF by the from-scratch writer (core/pdf.py):
-    positioned text show-ops + image-XObject /Do ops on a closed-form
-    two-column grid, encoding variants rotating per doc (Tm vs composed
-    Td, TJ kern splits, hex strings, two-stream /Contents, Flate vs raw,
-    UTF-16BE text strings), and — the point — EMISSION ORDER SHUFFLED,
+    REAL PDF by the from-scratch writer (core/pdf.py): positioned text
+    show-ops + image-XObject /Do ops on a closed-form two-column grid,
+    encoding variants rotating per doc (Tm vs composed Td, TJ kern
+    splits, hex strings, two-stream /Contents, Flate vs raw, UTF-16BE
+    text strings, and per num%3 the classic 1.4 xref table vs the PDF
+    1.5 shape — object streams + Predictor-12 cross-reference stream —
+    real generators emit), and — the point — EMISSION ORDER SHUFFLED,
     so only a parser that recovers reading order from device-space
     layout (page, top-to-bottom line, left-to-right x) can win. The
     extractor (operators/pdfparse.py) parses the bytes back through the

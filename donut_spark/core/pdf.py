@@ -11,10 +11,15 @@ synth writer emits, poison-row ``ValueError`` for everything outside it.
 
 Scope (documented, quarantine-guarded like the other codecs):
 
-* classic cross-reference TABLES with ``/Prev`` chains — PDF 1.5+
-  cross-reference *streams* raise ``ValueError`` (quarantine path);
-* ``/FlateDecode`` filters (stdlib zlib); any other filter or a
-  ``/DecodeParms`` predictor raises;
+* classic cross-reference TABLES with ``/Prev`` chains, PDF 1.5+
+  cross-reference STREAMS (``/Type /XRef``, ``/W`` widths, ``/Index``
+  subsections, type-2 compressed entries) with ``/Prev`` chains, and
+  hybrid-reference files (classic trailer with ``/XRefStm``) — the
+  three cross-reference shapes real generators emit;
+* object streams (``/Type /ObjStm``) for compressed objects;
+* ``/FlateDecode`` filters (stdlib zlib), with ``/DecodeParms`` PNG
+  predictors 10-15 (the encoding every real xref stream uses); TIFF
+  predictor 2 and any other filter raise;
 * encrypted documents (``/Encrypt`` in the trailer) raise;
 * text strings in PDFDocEncoding (latin-1 range) or BOM-marked
   UTF-16BE — both spec-conformant "text string" encodings;
@@ -39,6 +44,8 @@ import random
 import re
 import zlib
 from typing import Dict, List, Optional, Tuple, Union
+
+from .png import _paeth
 
 PDF_HEADER = b"%PDF-1."
 
@@ -297,6 +304,68 @@ class _Lexer:
 
 
 # ---------------------------------------------------------------------------
+# stream predictors
+# ---------------------------------------------------------------------------
+
+
+def _apply_predictor(data: bytes, parms, resolve) -> bytes:
+    """Undo a /DecodeParms predictor on flate output.
+
+    PNG predictors 10-15 (ISO 32000-1 §7.4.4.4) are what every real
+    xref stream uses: each stored row is one PNG filter-type byte plus
+    ``rowlen`` filtered bytes, unfiltered exactly like a PNG scanline
+    (core/png.py discipline, but with /Colors × /BitsPerComponent
+    deciding bpp instead of fixed RGB). Predictor 1/absent is a no-op;
+    TIFF predictor 2 and malformed row geometry raise ``ValueError``
+    (poison-row path)."""
+    if parms in (None, [], {}):
+        return data
+    if not isinstance(parms, dict):
+        raise ValueError("pdf: DecodeParms is not a dict")
+    pred = resolve(parms.get("Predictor", 1))
+    if pred == 1:
+        return data
+    if not isinstance(pred, int) or pred < 10 or pred > 15:
+        raise ValueError(f"pdf: predictor {pred!r} unsupported")
+    columns = resolve(parms.get("Columns", 1))
+    colors = resolve(parms.get("Colors", 1))
+    bpc = resolve(parms.get("BitsPerComponent", 8))
+    if not all(isinstance(v, int) and v > 0 for v in (columns, colors, bpc)):
+        raise ValueError("pdf: bad predictor geometry")
+    rowlen = (columns * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc) // 8)
+    if rowlen == 0 or len(data) % (rowlen + 1):
+        raise ValueError("pdf: predictor data is not whole rows")
+    out = bytearray()
+    prev = bytes(rowlen)
+    for r in range(0, len(data), rowlen + 1):
+        ftype = data[r]
+        row = bytearray(data[r + 1 : r + 1 + rowlen])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        else:
+            raise ValueError(f"pdf: bad PNG filter type {ftype}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # document reader
 # ---------------------------------------------------------------------------
 
@@ -310,6 +379,15 @@ class PdfDocument:
         self.b = data
         self._cache: Dict[int, PdfObj] = {}
         self.xref: Dict[int, int] = {}
+        # obj num → (object-stream num, index within) for type-2 entries
+        self._compressed: Dict[int, Tuple[int, int]] = {}
+        # objstm num → (pair list, decoded bytes, /First) parsed once
+        self._objstm_cache: Dict[int, Tuple[list, bytes, int]] = {}
+        # objects currently being loaded: a crafted definition cycle
+        # (stream /Length → object whose load needs the first stream,
+        # objstm container chains, …) must ValueError (poison row), not
+        # blow the stack with RecursionError past the operator's catch
+        self._loading: set = set()
         self.trailer: dict = {}
         self._load_xref()
         if "Encrypt" in self.trailer:
@@ -332,11 +410,20 @@ class PdfDocument:
             seen.add(off)
             off = self._load_xref_section(off)
 
+    def _seen_entry(self, num: int) -> bool:
+        # sections are visited newest-first (startxref, then /Prev
+        # links) — the first entry seen for an object number wins,
+        # across BOTH entry kinds (regular offset / compressed)
+        return num in self.xref or num in self._compressed
+
     def _load_xref_section(self, off: int) -> Optional[int]:
         lx = _Lexer(self.b, off)
+        save = lx.i
         if lx._read_token_word() != b"xref":
-            # an integer object header here would be a 1.5+ xref STREAM
-            raise ValueError("pdf: cross-reference streams unsupported")
+            # an integer object header here is a 1.5+ xref STREAM
+            lx.i = save
+            return self._load_xref_stream(off)
+        entries: List[Tuple[int, int]] = []
         while True:
             save = lx.i
             word = lx._read_token_word()
@@ -354,18 +441,115 @@ class PdfDocument:
                     raise ValueError("pdf: truncated xref entry")
                 eoff, kind = entry[:10], entry[17:18]
                 if kind == b"n":
-                    # sections are visited newest-first (startxref, then
-                    # /Prev links) — the first offset seen wins
-                    self.xref.setdefault(first + k, int(eoff))
+                    entries.append((first + k, int(eoff)))
                 elif kind != b"f":
                     raise ValueError("pdf: bad xref entry kind")
                 lx.i += 20
         trailer = lx.read_obj()
         if not isinstance(trailer, dict):
             raise ValueError("pdf: bad trailer")
+        # hybrid-reference file: the /XRefStm stream's entries take
+        # precedence over this classic section's (ISO 32000-1 §7.5.8.4),
+        # so load it BEFORE applying the table entries
+        xrefstm = trailer.get("XRefStm")
+        if isinstance(xrefstm, int):
+            self._load_xref_stream(xrefstm)
+        for num, eoff in entries:
+            if not self._seen_entry(num):
+                self.xref[num] = eoff
         for k, v in trailer.items():
             self.trailer.setdefault(k, v)
         prev = trailer.get("Prev")
+        return int(prev) if isinstance(prev, int) else None
+
+    # cap on total xref-stream entries: far above any real document,
+    # keeps a crafted /Index from turning one poison row into a
+    # many-second parse loop
+    MAX_XREF_ENTRIES = 1 << 22
+
+    def _load_xref_stream(self, off: int) -> Optional[int]:
+        """PDF 1.5+ cross-reference stream (/Type /XRef)."""
+        lx = _Lexer(self.b, off)
+        try:
+            num = lx.read_obj(allow_ref=False)
+            gen = lx.read_obj(allow_ref=False)
+        except ValueError:
+            raise ValueError(
+                "pdf: cross-reference section is neither table nor stream"
+            ) from None
+        if (
+            not isinstance(num, int)
+            or not isinstance(gen, int)
+            or lx._read_token_word() != b"obj"
+        ):
+            raise ValueError(
+                "pdf: cross-reference section is neither table nor stream"
+            )
+        d = lx.read_obj()
+        if not isinstance(d, dict) or d.get("Type") != Name("XRef"):
+            raise ValueError("pdf: xref stream dict is not /Type /XRef")
+        if lx._read_token_word() != b"stream":
+            raise ValueError("pdf: xref stream without stream data")
+        i = lx.i
+        if self.b[i : i + 2] == b"\r\n":
+            i += 2
+        elif self.b[i : i + 1] == b"\n":
+            i += 1
+        length = d.get("Length")
+        # /Length here cannot be an indirect ref: resolving one needs
+        # the very xref being loaded
+        if not isinstance(length, int) or i + length > len(self.b):
+            raise ValueError("pdf: xref stream /Length bad or truncated")
+        data = self.stream_data(Stream(d, self.b[i : i + length]))
+
+        size = d.get("Size")
+        w = d.get("W")
+        if not isinstance(size, int) or not (
+            isinstance(w, list)
+            and len(w) == 3
+            and all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+        ):
+            raise ValueError("pdf: xref stream /Size or /W bad")
+        index = d.get("Index", [0, size])
+        if not (
+            isinstance(index, list)
+            and len(index) >= 2
+            and len(index) % 2 == 0
+            and all(isinstance(x, int) and x >= 0 for x in index)
+        ):
+            raise ValueError("pdf: xref stream /Index bad")
+        roww = sum(w)
+        total = sum(index[1::2])
+        if roww == 0 or total > self.MAX_XREF_ENTRIES:
+            raise ValueError("pdf: xref stream geometry bad")
+        if len(data) < total * roww:
+            raise ValueError("pdf: xref stream data truncated")
+
+        pos = 0
+        for s in range(0, len(index), 2):
+            start, count = index[s], index[s + 1]
+            for k in range(count):
+                row = data[pos : pos + roww]
+                pos += roww
+                o = 0
+                f1 = int.from_bytes(row[: w[0]], "big") if w[0] else 1
+                o += w[0]
+                f2 = int.from_bytes(row[o : o + w[1]], "big")
+                o += w[1]
+                f3 = int.from_bytes(row[o : o + w[2]], "big")
+                numk = start + k
+                if self._seen_entry(numk):
+                    continue
+                if f1 == 1:  # regular: f2 = byte offset
+                    self.xref[numk] = f2
+                elif f1 == 2:  # compressed: f2 = objstm num, f3 = index
+                    self._compressed[numk] = (f2, f3)
+                elif f1 != 0:  # 0 = free
+                    raise ValueError(f"pdf: bad xref stream entry type {f1}")
+        for k, v in d.items():
+            if k not in ("Length", "Filter", "DecodeParms", "W", "Index"):
+                self.trailer.setdefault(k, v)
+        prev = d.get("Prev")
         return int(prev) if isinstance(prev, int) else None
 
     # -- objects ------------------------------------------------------------
@@ -375,33 +559,97 @@ class PdfDocument:
             return self._cache[ref.num]
         off = self.xref.get(ref.num)
         if off is None:
+            if ref.num in self._compressed:
+                if ref.num in self._loading:
+                    raise ValueError("pdf: object definition cycle")
+                self._loading.add(ref.num)
+                try:
+                    val = self._objstm_obj(ref.num)
+                finally:
+                    self._loading.discard(ref.num)
+                self._cache[ref.num] = val
+                return val
             return None  # free / missing object resolves to null per spec
-        lx = _Lexer(self.b, off)
-        num = lx.read_obj(allow_ref=False)
-        gen = lx.read_obj(allow_ref=False)
-        if num != ref.num or not isinstance(gen, int):
-            raise ValueError(f"pdf: xref offset for obj {ref.num} is wrong")
-        if lx._read_token_word() != b"obj":
-            raise ValueError("pdf: missing obj keyword")
-        val = lx.read_obj()
-        save = lx.i
-        word = lx._read_token_word()
-        if word == b"stream":
-            if not isinstance(val, dict):
-                raise ValueError("pdf: stream without dict")
-            i = lx.i  # EOL after 'stream' is CRLF or LF
-            if self.b[i : i + 2] == b"\r\n":
-                i += 2
-            elif self.b[i : i + 1] == b"\n":
-                i += 1
-            length = self.resolve(val.get("Length"))
-            if not isinstance(length, int) or i + length > len(self.b):
-                raise ValueError("pdf: stream /Length bad or truncated")
-            val = Stream(val, self.b[i : i + length])
-        else:
-            lx.i = save
+        if ref.num in self._loading:
+            raise ValueError("pdf: object definition cycle")
+        self._loading.add(ref.num)
+        try:
+            lx = _Lexer(self.b, off)
+            num = lx.read_obj(allow_ref=False)
+            gen = lx.read_obj(allow_ref=False)
+            if num != ref.num or not isinstance(gen, int):
+                raise ValueError(
+                    f"pdf: xref offset for obj {ref.num} is wrong"
+                )
+            if lx._read_token_word() != b"obj":
+                raise ValueError("pdf: missing obj keyword")
+            val = lx.read_obj()
+            save = lx.i
+            word = lx._read_token_word()
+            if word == b"stream":
+                if not isinstance(val, dict):
+                    raise ValueError("pdf: stream without dict")
+                i = lx.i  # EOL after 'stream' is CRLF or LF
+                if self.b[i : i + 2] == b"\r\n":
+                    i += 2
+                elif self.b[i : i + 1] == b"\n":
+                    i += 1
+                length = self.resolve(val.get("Length"))
+                if not isinstance(length, int) or i + length > len(self.b):
+                    raise ValueError("pdf: stream /Length bad or truncated")
+                val = Stream(val, self.b[i : i + length])
+            else:
+                lx.i = save
+        finally:
+            self._loading.discard(ref.num)
         self._cache[ref.num] = val
         return val
+
+    MAX_OBJSTM_N = 1 << 20
+
+    def _objstm_obj(self, num: int) -> PdfObj:
+        """Load a compressed object out of its /Type /ObjStm container."""
+        stm_num, idx = self._compressed[num]
+        if stm_num in self._compressed:
+            # an object stream is itself a stream, so it can only live
+            # in a regular (type-1) entry — a type-2 container entry is
+            # corrupt and would otherwise recurse
+            raise ValueError("pdf: object stream inside an object stream")
+        if stm_num not in self._objstm_cache:
+            s = self.obj(Ref(stm_num))
+            if not isinstance(s, Stream) or s.d.get("Type") != Name(
+                "ObjStm"
+            ):
+                raise ValueError(
+                    f"pdf: compressed-entry container {stm_num} is not "
+                    "an object stream"
+                )
+            data = self.stream_data(s)
+            n = self.resolve(s.d.get("N"))
+            first = self.resolve(s.d.get("First"))
+            if (
+                not isinstance(n, int)
+                or not isinstance(first, int)
+                or not (0 < n <= self.MAX_OBJSTM_N)
+                or not (0 <= first <= len(data))
+            ):
+                raise ValueError("pdf: object stream /N or /First bad")
+            hx = _Lexer(data[:first])
+            pairs = []
+            for _ in range(n):
+                onum = hx.read_obj(allow_ref=False)
+                ooff = hx.read_obj(allow_ref=False)
+                if not isinstance(onum, int) or not isinstance(ooff, int):
+                    raise ValueError("pdf: object stream header bad")
+                pairs.append((onum, ooff))
+            self._objstm_cache[stm_num] = (pairs, data, first)
+        pairs, data, first = self._objstm_cache[stm_num]
+        if idx >= len(pairs) or pairs[idx][0] != num:
+            raise ValueError(
+                f"pdf: object {num} not at object-stream index {idx}"
+            )
+        # objects inside an ObjStm are direct (never streams, gen 0)
+        return _Lexer(data, first + pairs[idx][1]).read_obj()
 
     def resolve(self, v: PdfObj, depth: int = 0) -> PdfObj:
         while isinstance(v, Ref):
@@ -415,14 +663,18 @@ class PdfDocument:
     def stream_data(self, s: Stream) -> bytes:
         filt = self.resolve(s.d.get("Filter"))
         parms = self.resolve(s.d.get("DecodeParms"))
-        if parms not in (None, [], {}):
-            raise ValueError("pdf: DecodeParms unsupported")
         if filt is None:
+            if parms not in (None, [], {}):
+                raise ValueError("pdf: DecodeParms without a filter")
             return s.raw
         filters = filt if isinstance(filt, list) else [filt]
+        # /DecodeParms parallels /Filter: a single dict for a single
+        # filter, else an array with null for filters that take none
+        parm_list = parms if isinstance(parms, list) else [parms]
+        parm_list += [None] * (len(filters) - len(parm_list))
         data = s.raw
-        for f in filters:
-            f = self.resolve(f)
+        for f, p in zip(filters, parm_list):
+            f, p = self.resolve(f), self.resolve(p)
             if f == Name("FlateDecode"):
                 try:
                     # bounded decompress: a crafted flate bomb must hit
@@ -438,6 +690,7 @@ class PdfDocument:
                         raise ValueError("pdf: truncated flate stream")
                 except zlib.error as e:
                     raise ValueError(f"pdf: bad flate stream: {e}") from e
+                data = _apply_predictor(data, p, self.resolve)
             else:
                 raise ValueError(f"pdf: filter {f!r} unsupported")
         return data
@@ -450,23 +703,31 @@ class PdfDocument:
             raise ValueError("pdf: no document catalog")
         out: List[dict] = []
 
-        def walk(node: PdfObj, depth: int) -> None:
+        def walk(node: PdfObj, depth: int, inh_res: PdfObj) -> None:
             node = self.resolve(node)
             if not isinstance(node, dict) or depth > 32:
                 raise ValueError("pdf: bad page tree")
+            # /Resources is an INHERITABLE page-tree attribute (ISO
+            # 32000-1 §7.7.3.4): real generators commonly hoist it onto
+            # the /Pages node and leave it off the leaf pages
+            if "Resources" in node:
+                inh_res = node["Resources"]
             t = node.get("Type")
             if t == Name("Pages"):
                 kids = self.resolve(node.get("Kids"))
                 if not isinstance(kids, list):
                     raise ValueError("pdf: /Pages without /Kids")
                 for kid in kids:
-                    walk(kid, depth + 1)
+                    walk(kid, depth + 1, inh_res)
             elif t == Name("Page"):
+                if "Resources" not in node and inh_res is not None:
+                    node = dict(node)
+                    node["Resources"] = inh_res
                 out.append(node)
             else:
                 raise ValueError("pdf: bad page-tree node type")
 
-        walk(root.get("Pages"), 0)
+        walk(root.get("Pages"), 0, None)
         return out
 
     def page_content(self, page: dict) -> bytes:
@@ -724,21 +985,28 @@ def encode_pdf(
     compress: bool = False,
     seed: int = 0,
     variant: int = 0,
+    xref_stream: bool = False,
 ) -> bytes:
-    """Write a classic-xref PDF carrying the given positioned spans.
+    """Write a PDF carrying the given positioned spans.
 
     ``variant`` selects spec-equivalent encodings the parser must all
     handle (0: ``Tm`` + literal ``Tj``; 1: composed ``Td`` deltas and a
     two-stream /Contents array; 2: ``TJ`` arrays with kern splits; 3:
     hex strings); emission order within each page is shuffled by
     ``seed`` so reading order is NOT stream order — the extractor's
-    layout sort has to earn it.
+    layout sort has to earn it. ``xref_stream=False`` writes the
+    classic PDF 1.4 shape (xref table + trailer); ``True`` writes the
+    PDF 1.5 shape real generators emit — dict-only objects packed into
+    a ``/Type /ObjStm`` object stream and the cross-reference as a
+    ``/Type /XRef`` stream with PNG Up-predicted (Predictor 12) rows.
     """
     rng = random.Random(seed)
     objs: Dict[int, bytes] = {}
+    stream_nums = set()  # objects that ARE streams (not ObjStm-packable)
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     img_num = 4
+    stream_nums.add(img_num)
     img_data = zlib.compress(_IMG_SAMPLES, 6)
     objs[img_num] = (
         b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
@@ -803,11 +1071,13 @@ def encode_pdf(
             cnum1, cnum2 = next_num, next_num + 1
             objs[cnum1] = _stream_obj(b"".join(chunks[:cut]))
             objs[cnum2] = _stream_obj(b"".join(chunks[cut:]))
+            stream_nums.update((cnum1, cnum2))
             contents = b"[%d 0 R %d 0 R]" % (cnum1, cnum2)
             next_num += 2
         else:
             cnum = next_num
             objs[cnum] = _stream_obj(b"".join(chunks))
+            stream_nums.add(cnum)
             contents = b"%d 0 R" % cnum
             next_num += 1
 
@@ -832,19 +1102,89 @@ def encode_pdf(
         kids,
     )
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    max_num = max(objs)
+    if not xref_stream:
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        max_num = max(objs)
+        offsets: Dict[int, int] = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+        xref_off = len(out)
+        out += b"xref\n0 %d\n" % (max_num + 1)
+        out += b"0000000000 65535 f \n"
+        for num in range(1, max_num + 1):
+            out += b"%010d 00000 n \n" % offsets[num]
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_num + 1, xref_off)
+        )
+        return bytes(out)
+    return _assemble_xref_stream_pdf(objs, stream_nums)
+
+
+def _assemble_xref_stream_pdf(
+    objs: Dict[int, bytes], stream_nums: set
+) -> bytes:
+    """Assemble the PDF 1.5 file shape: dict-only objects packed into
+    one /ObjStm, cross-reference as a Predictor-12 /XRef stream."""
+    packed = sorted(n for n in objs if n not in stream_nums)
+    regular = sorted(n for n in objs if n in stream_nums)
+    objstm_num = max(objs) + 1
+    xref_num = objstm_num + 1
+
+    header = bytearray()
+    body = bytearray()
+    pack_off: Dict[int, int] = {}
+    for n in packed:
+        pack_off[n] = len(body)
+        body += objs[n] + b"\n"
+    for n in packed:
+        header += b"%d %d " % (n, pack_off[n])
+    first = len(header)
+    stm = zlib.compress(bytes(header + body), 6)
+    objstm_obj = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % (len(packed), first, len(stm))
+        + stm
+        + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: Dict[int, int] = {}
-    for num in sorted(objs):
+    for num in regular:
         offsets[num] = len(out)
         out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += b"%d 0 obj\n" % objstm_num + objstm_obj + b"\nendobj\n"
     xref_off = len(out)
-    out += b"xref\n0 %d\n" % (max_num + 1)
-    out += b"0000000000 65535 f \n"
-    for num in range(1, max_num + 1):
-        out += b"%010d 00000 n \n" % offsets[num]
+    offsets[xref_num] = xref_off
+
+    # /W [1 4 2] rows for every object 0..xref_num (numbers are
+    # contiguous by construction), PNG Up-filtered (Predictor 12)
+    size = xref_num + 1
+    rows: List[bytes] = [b"\x00" + (0).to_bytes(4, "big") + b"\xff\xff"]
+    for num in range(1, size):
+        if num in offsets:
+            rows.append(
+                b"\x01" + offsets[num].to_bytes(4, "big") + b"\x00\x00"
+            )
+        else:
+            rows.append(
+                b"\x02"
+                + objstm_num.to_bytes(4, "big")
+                + packed.index(num).to_bytes(2, "big")
+            )
+    filtered = bytearray()
+    prev = bytes(7)
+    for row in rows:
+        filtered += b"\x02" + bytes((row[i] - prev[i]) & 0xFF for i in range(7))
+        prev = row
+    xdata = zlib.compress(bytes(filtered), 6)
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (max_num + 1, xref_off)
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
+        b"/Length %d >>\nstream\n" % (xref_num, size, len(xdata))
+        + xdata
+        + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_off
     )
     return bytes(out)

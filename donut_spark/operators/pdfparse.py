@@ -112,11 +112,14 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
 
     Every document's *expected* interleaved span sequence (reading
     order ground truth) is laid out on the closed-form grid above and
-    written by ``core/pdf.py``'s classic-xref writer. Encoding variants
-    rotate by ``num % 4`` (Tm/Td positioning, TJ kern splits, hex
-    strings, a two-stream /Contents array) and ``num % 2`` picks
-    FlateDecode vs raw streams; emission order inside each page is
-    seed-shuffled so a parser that trusts stream order FAILS the
+    written by ``core/pdf.py``'s writer. Encoding variants rotate by
+    ``num % 4`` (Tm/Td positioning, TJ kern splits, hex strings, a
+    two-stream /Contents array), ``num % 2`` picks FlateDecode vs raw
+    content streams, and ``num % 3 == 2`` docs get the PDF 1.5 file
+    shape (object stream + Predictor-12 xref stream) instead of the
+    classic 1.4 table — every cross-reference shape real generators
+    emit flows through the same parse. Emission order inside each page
+    is seed-shuffled so a parser that trusts stream order FAILS the
     oracle. Deterministic in doc_id alone — stable across partition
     layouts and cluster sizes.
     """
@@ -137,6 +140,7 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                     compress=(num % 2 == 0),
                     seed=num * 7919 + 13,
                     variant=num % 4,
+                    xref_stream=(num % 3 == 2),
                 )
                 rows.append((doc_id, content))
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
@@ -148,8 +152,8 @@ def extract_pdf_spans(pdf_df: DataFrame) -> DataFrame:
     """(doc_id, content) → interleaved spans in READING order.
 
     ``seq`` is the document-global reading-order index (page-major).
-    Poison rows (encrypted, xref-stream, unsupported filter, truncated,
-    malformed syntax) become a single ``kind='error'`` row carrying the
+    Poison rows (encrypted, unsupported filter, truncated, malformed
+    syntax or cross-reference) become a single ``kind='error'`` row carrying the
     reason in ``text`` — the stage never dies on one bad document; the
     caller routes those to quarantine exactly like the media codecs'
     contract (SURVEY §2.1 S11).

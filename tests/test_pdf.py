@@ -39,9 +39,14 @@ PAGES = [
 
 @pytest.mark.parametrize("variant", [0, 1, 2, 3])
 @pytest.mark.parametrize("compress", [False, True])
-def test_roundtrip_all_variants(variant, compress):
+@pytest.mark.parametrize("xref_stream", [False, True])
+def test_roundtrip_all_variants(variant, compress, xref_stream):
     data = encode_pdf(
-        PAGES, compress=compress, seed=31 * variant + 5, variant=variant
+        PAGES,
+        compress=compress,
+        seed=31 * variant + 5,
+        variant=variant,
+        xref_stream=xref_stream,
     )
     assert parse_pdf_spans(data) == PAGES
 
@@ -175,9 +180,10 @@ def test_poison_paths(mutate, msg):
         parse_pdf_spans(mutate(data))
 
 
-def test_poison_xref_stream_and_bad_syntax():
+def test_poison_bad_xref_target_and_bad_syntax():
     data = encode_pdf(PAGES, variant=0)
-    # point startxref at an object header → the 1.5+ xref-stream shape
+    # point startxref into the header comment: neither a classic table
+    # nor a parseable xref-stream object header
     start = data.rfind(b"startxref")
     broken = data[:start] + b"startxref\n9\n%%EOF\n"
     with pytest.raises(ValueError):
@@ -186,14 +192,201 @@ def test_poison_xref_stream_and_bad_syntax():
         _interp(b"(loose) Tj")
     with pytest.raises(ValueError, match="undefined XObject"):
         _interp(b"q 1 0 0 1 5 5 cm /missing Do Q", xobjects={})
-    # a /DecodeParms predictor on a content stream (in-place on the
-    # parsed object — splicing bytes would shift later xref offsets and
-    # trip the offset check first)
+    # unsupported TIFF predictor (in-place on the parsed object —
+    # splicing bytes would shift later xref offsets and trip the
+    # offset check first)
     doc = PdfDocument(encode_pdf(PAGES, compress=True))
     s = doc.resolve(doc.pages()[0]["Contents"])
-    s.d["DecodeParms"] = {"Predictor": 12}
-    with pytest.raises(ValueError, match="DecodeParms"):
+    s.d["DecodeParms"] = {"Predictor": 2}
+    with pytest.raises(ValueError, match="predictor"):
         doc.stream_data(s)
+    # a PNG predictor whose geometry doesn't divide the data into
+    # whole rows is poison, not a partial parse
+    s.d["DecodeParms"] = {"Predictor": 12, "Columns": 10**6}
+    with pytest.raises(ValueError, match="whole rows|geometry"):
+        doc.stream_data(s)
+
+
+def test_xref_stream_decodeparms_predictor_roundtrip():
+    """The 1.5 writer emits Predictor-12 (PNG Up) xref rows; decoding
+    them exercises _apply_predictor end to end. Also pin the other PNG
+    filter types against a hand-filtered fixture."""
+    from donut_spark.core.pdf import _apply_predictor
+
+    ident = lambda v: v  # noqa: E731
+    rows = [bytes([10 * r + c for c in range(4)]) for r in range(3)]
+    # Sub (1): delta vs previous byte in the row (bpp=1)
+    enc = bytearray()
+    for row in rows:
+        enc += b"\x01" + bytes(
+            (row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(4)
+        )
+    out = _apply_predictor(
+        bytes(enc), {"Predictor": 12, "Columns": 4}, ident
+    )
+    assert out == b"".join(rows)
+    # Paeth (4) with all-zero prediction context row 0 degrades to Sub
+    enc2 = b"\x04" + bytes(
+        (rows[0][i] - (rows[0][i - 1] if i else 0)) & 0xFF for i in range(4)
+    )
+    assert (
+        _apply_predictor(enc2, {"Predictor": 12, "Columns": 4}, ident)
+        == rows[0]
+    )
+    with pytest.raises(ValueError, match="filter type"):
+        _apply_predictor(b"\x09AAAA", {"Predictor": 12, "Columns": 4}, ident)
+
+
+def test_hybrid_xrefstm_takes_precedence():
+    """A hybrid-reference file: classic table says object 5 is the old
+    content stream, /XRefStm re-points it — the stream entry must win
+    (ISO 32000-1 §7.5.8.4)."""
+    base = encode_pdf([[("text", 72.0, 700.0, 10.0, "old")]], variant=0)
+    stream = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (new) Tj ET"
+    body = (
+        b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(stream), stream)
+    )
+    obj_off = len(base)
+    xstm_off = obj_off + len(body)
+    # xref stream object (no predictor, raw rows): one entry for obj 5
+    rows = b"\x01" + obj_off.to_bytes(4, "big") + b"\x00\x00"
+    xstm = (
+        b"8 0 obj\n<< /Type /XRef /Size 9 /W [1 4 2] /Index [5 1] "
+        b"/Root 1 0 R /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(rows), rows)
+    )
+    old_start = base.rfind(b"startxref")
+    old_xref_off = int(base[old_start:].split()[1])
+    table_off = xstm_off + len(xstm)
+    # the classic section of the update re-points obj 5 at the OLD
+    # object (stale) — only the XRefStm knows about the new one
+    old_obj5_off = int(
+        base[base.find(b"xref") :].split(b"\n")[2 + 5].split()[0]
+    )
+    update = body + xstm + (
+        b"xref\n5 1\n%010d 00000 n \ntrailer\n"
+        b"<< /Size 9 /Root 1 0 R /Prev %d /XRefStm %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (old_obj5_off, old_xref_off, xstm_off, table_off)
+    )
+    assert parse_pdf_spans(base + update) == [
+        [("text", 72.0, 700.0, 10.0, "new")]
+    ]
+
+
+def test_incremental_update_over_xref_stream_base():
+    """A classic update section whose /Prev points at a 1.5 xref STREAM:
+    the chain walker must dispatch per-section by shape."""
+    base = encode_pdf(
+        [[("text", 72.0, 700.0, 10.0, "old")]], variant=0, xref_stream=True
+    )
+    doc = PdfDocument(base)
+    ref = doc.pages()[0]["Contents"]
+    cnum = ref.num
+    stream = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (new) Tj ET"
+    body = (
+        b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (cnum, len(stream), stream)
+    )
+    old_start = base.rfind(b"startxref")
+    old_xref_off = int(base[old_start:].split()[1])
+    obj_off = len(base)
+    xref_off = obj_off + len(body)
+    update = body + (
+        b"xref\n%d 1\n%010d 00000 n \ntrailer\n"
+        b"<< /Size 20 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (cnum, obj_off, old_xref_off, xref_off)
+    )
+    assert parse_pdf_spans(base + update) == [
+        [("text", 72.0, 700.0, 10.0, "new")]
+    ]
+
+
+def test_objstm_poison_guards():
+    """Corrupt compressed-entry shapes are poison rows, not recursion
+    or silent misreads."""
+    doc = PdfDocument(encode_pdf(PAGES, xref_stream=True))
+    from donut_spark.core.pdf import Ref
+
+    a_compressed_num = next(iter(doc._compressed))
+    stm_num = doc._compressed[a_compressed_num][0]
+    # container pointing at another compressed entry → guarded recursion
+    doc._compressed[9901] = (a_compressed_num, 0)
+    with pytest.raises(ValueError, match="inside an object stream"):
+        doc.obj(Ref(9901))
+    # container that is a stream but not /Type /ObjStm (the image)
+    doc._compressed[9902] = (4, 0)
+    with pytest.raises(ValueError, match="not an object stream"):
+        doc.obj(Ref(9902))
+    # index out of range / number mismatch
+    doc._compressed[9903] = (stm_num, 9999)
+    with pytest.raises(ValueError, match="not at object-stream index"):
+        doc.obj(Ref(9903))
+
+
+def test_resources_inherited_from_pages_node():
+    """/Resources hoisted onto the /Pages node (an inheritable
+    attribute real generators rely on) must still resolve the page's
+    XObjects for /Do validation."""
+    content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (inh) Tj ET q /Im0 Do Q"
+    img = (
+        b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 4 >>\n"
+        b"stream\nABCD\nendstream"
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (
+            b"<< /Type /Pages /Count 1 /Kids [5 0 R] /Resources "
+            b"<< /Font << /F1 3 0 R >> /XObject << /Im0 6 0 R >> >> >>"
+        ),
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        # NOTE: no /Resources on the page itself
+        5: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        6: img,
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for num in range(1, 7):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % xref_off
+    )
+    assert parse_pdf_spans(bytes(out)) == [
+        [
+            ("text", 72.0, 700.0, 10.0, "inh"),
+            ("media", 0.0, 0.0, 0.0, "Im0"),
+        ]
+    ]
+
+
+def test_length_reference_cycle_is_valueerror():
+    """Two streams whose /Length fields reference each other: the load
+    guard must surface ValueError (poison row), never RecursionError
+    past the operator's catch."""
+    head = b"%PDF-1.4\n"
+    o1 = b"1 0 obj\n<< /Length 2 0 R >>\nstream\nAB\nendstream\nendobj\n"
+    o2 = b"2 0 obj\n<< /Length 1 0 R >>\nstream\nCD\nendstream\nendobj\n"
+    off1 = len(head)
+    off2 = off1 + len(o1)
+    xref_off = off2 + len(o2)
+    data = head + o1 + o2 + (
+        b"xref\n0 3\n0000000000 65535 f \n%010d 00000 n \n%010d 00000 n \n"
+        b"trailer\n<< /Size 3 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (off1, off2, xref_off)
+    )
+    from donut_spark.core.pdf import Ref
+
+    doc = PdfDocument(data)
+    with pytest.raises(ValueError, match="cycle"):
+        doc.obj(Ref(1))
 
 
 def test_flate_bomb_and_truncation_guard():
@@ -264,6 +457,7 @@ def test_fuzz_roundtrip(data):
     rng_seed = data.draw(st.integers(0, 2**31))
     variant = data.draw(st.integers(0, 3))
     compress = data.draw(st.booleans())
+    xref_stream = data.draw(st.booleans())
     texts = data.draw(
         st.lists(
             st.text(
@@ -296,7 +490,13 @@ def test_fuzz_roundtrip(data):
     page.sort(key=lambda s: (-s[2], s[1]))
     pages = [page]
     out = parse_pdf_spans(
-        encode_pdf(pages, compress=compress, seed=rng_seed, variant=variant)
+        encode_pdf(
+            pages,
+            compress=compress,
+            seed=rng_seed,
+            variant=variant,
+            xref_stream=xref_stream,
+        )
     )
     assert out == pages
 
