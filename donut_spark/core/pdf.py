@@ -22,7 +22,12 @@ Scope (documented, quarantine-guarded like the other codecs):
   predictor 2 and any other filter raise;
 * encrypted documents (``/Encrypt`` in the trailer) raise;
 * text strings in PDFDocEncoding (latin-1 range) or BOM-marked
-  UTF-16BE — both spec-conformant "text string" encodings;
+  UTF-16BE — both spec-conformant "text string" encodings — and, when
+  the active font carries a ``/ToUnicode`` CMap (the modern embedded-
+  font path: Type0/Identity-H with 2-byte glyph codes, or simple fonts
+  with 1-byte codes), show-string bytes are decoded through the CMap
+  (``begincodespacerange``/``beginbfchar``/``beginbfrange`` incl. both
+  range destination forms; ``usecmap`` composition is out of subset);
 * the text-positioning subset of the content-stream operator set:
   ``BT ET Tf Td TD Tm T* TL Tj TJ ' "`` plus graphics state ``q Q cm``
   and image placement ``Do`` (interleaved media spans); every other
@@ -363,6 +368,111 @@ def _apply_predictor(data: bytes, parms, resolve) -> bytes:
         out += row
         prev = bytes(row)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps
+# ---------------------------------------------------------------------------
+
+_MAX_CMAP_ITEMS = 1 << 20
+
+
+def parse_tounicode(data: bytes) -> Tuple[Optional[int], Dict[int, str]]:
+    """Parse a /ToUnicode CMap stream → (code byte-length, code→str).
+
+    Recognizes ``begincodespacerange`` (fixing the code width),
+    ``beginbfchar`` pairs and ``beginbfrange`` triples in BOTH
+    destination forms — array of strings, and a start string whose last
+    16-bit unit increments across the range (ISO 32000-1 §9.10.3 /
+    Adobe CMap spec). The PostScript scaffolding around the blocks
+    (``findresource begin … endcmap``) is skipped token-wise; anything
+    structurally wrong inside a block is ``ValueError`` (poison row).
+    ``usecmap`` composition is outside the subset and is ignored like
+    the other scaffolding words (its operands parse as plain tokens)."""
+    lx = _Lexer(data)
+    n = len(data)
+    mapping: Dict[int, str] = {}
+    code_len: Optional[int] = None
+
+    def utf16(raw) -> str:
+        if not isinstance(raw, bytes) or len(raw) % 2:
+            raise ValueError("pdf: CMap destination is not UTF-16BE")
+        return raw.decode("utf-16-be")  # lone surrogate → UnicodeDecodeError
+        # (a ValueError subclass, so still the poison-row path)
+
+    def read_items(end_word: bytes) -> list:
+        items: list = []
+        while True:
+            lx._skip_ws()
+            if lx.i >= n:
+                raise ValueError("pdf: unterminated CMap block")
+            c = data[lx.i : lx.i + 1]
+            if c in b"(<[/+-.0123456789":
+                items.append(lx.read_obj(allow_ref=False))
+            else:
+                w = lx._read_token_word()
+                if w == end_word:
+                    return items
+                raise ValueError(f"pdf: unexpected {w!r} in CMap block")
+            if len(items) > _MAX_CMAP_ITEMS:
+                raise ValueError("pdf: CMap too large")
+
+    while lx.i < n:
+        lx._skip_ws()
+        if lx.i >= n:
+            break
+        c = data[lx.i : lx.i + 1]
+        if c in b"(<[/+-.0123456789":
+            lx.read_obj(allow_ref=False)
+            continue
+        w = lx._read_token_word()
+        if not w:
+            raise ValueError("pdf: bad CMap syntax")
+        if w == b"begincodespacerange":
+            items = read_items(b"endcodespacerange")
+            if items and isinstance(items[0], bytes) and 1 <= len(items[0]) <= 4:
+                code_len = len(items[0])
+        elif w == b"beginbfchar":
+            items = read_items(b"endbfchar")
+            if len(items) % 2:
+                raise ValueError("pdf: bfchar items are not pairs")
+            for src, dst in zip(items[0::2], items[1::2]):
+                if not isinstance(src, bytes):
+                    raise ValueError("pdf: bfchar source is not a string")
+                mapping[int.from_bytes(src, "big")] = utf16(dst)
+        elif w == b"beginbfrange":
+            items = read_items(b"endbfrange")
+            if len(items) % 3:
+                raise ValueError("pdf: bfrange items are not triples")
+            for j in range(0, len(items), 3):
+                lo, hi, dst = items[j : j + 3]
+                if not isinstance(lo, bytes) or not isinstance(hi, bytes):
+                    raise ValueError("pdf: bfrange bounds are not strings")
+                lo_i = int.from_bytes(lo, "big")
+                hi_i = int.from_bytes(hi, "big")
+                if hi_i < lo_i or hi_i - lo_i >= (1 << 16):
+                    raise ValueError("pdf: bfrange bounds bad")
+                if isinstance(dst, list):
+                    if len(dst) != hi_i - lo_i + 1:
+                        raise ValueError("pdf: bfrange array length bad")
+                    for k, d in enumerate(dst):
+                        mapping[lo_i + k] = utf16(d)
+                elif isinstance(dst, bytes):
+                    if len(dst) < 2 or len(dst) % 2:
+                        raise ValueError("pdf: bfrange start bad")
+                    prefix, last = dst[:-2], int.from_bytes(dst[-2:], "big")
+                    for k in range(hi_i - lo_i + 1):
+                        unit = ((last + k) & 0xFFFF).to_bytes(2, "big")
+                        mapping[lo_i + k] = utf16(prefix + unit)
+                else:
+                    raise ValueError("pdf: bfrange destination bad")
+        # every other word is PostScript scaffolding — skipped
+    return code_len, mapping
+
+
+# font-name → (code byte-length, code→str mapping), or None when the
+# font has no /ToUnicode (text-string decode applies)
+FontMap = Dict[str, Optional[Tuple[int, Dict[int, str]]]]
 
 
 # ---------------------------------------------------------------------------
@@ -766,6 +876,37 @@ class PdfDocument:
             out[str(name)] = (w, h)
         return out
 
+    def page_fonts(self, page: dict) -> FontMap:
+        """Font resource names → ToUnicode decode info for a page.
+
+        A font with a ``/ToUnicode`` stream gets its CMap parsed; the
+        code width comes from the CMap's codespacerange, else from the
+        subtype (Type0/Identity-H = 2-byte codes, simple fonts =
+        1-byte). Fonts without ToUnicode map to None — show strings
+        fall back to the text-string decode."""
+        res = self.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return {}
+        fd = self.resolve(res.get("Font"))
+        if not isinstance(fd, dict):
+            return {}
+        out: FontMap = {}
+        for name, ref in fd.items():
+            f = self.resolve(ref)
+            if not isinstance(f, dict):
+                raise ValueError(f"pdf: font /{name} is not a dict")
+            tu = self.resolve(f.get("ToUnicode"))
+            if tu is None:
+                out[str(name)] = None
+                continue
+            if not isinstance(tu, Stream):
+                raise ValueError("pdf: /ToUnicode is not a stream")
+            code_len, mapping = parse_tounicode(self.stream_data(tu))
+            if code_len is None:
+                code_len = 2 if f.get("Subtype") == Name("Type0") else 1
+            out[str(name)] = (code_len, mapping)
+        return out
+
 
 # ---------------------------------------------------------------------------
 # content-stream interpreter
@@ -798,6 +939,7 @@ def _decode_text(raw: bytes) -> str:
 def extract_page_spans(
     content: bytes,
     xobjects: Optional[Dict[str, Tuple[int, int]]] = None,
+    fonts: Optional[FontMap] = None,
 ) -> List[Span]:
     """Interpret one page's content stream → spans in EMISSION order
     (device space; y grows upward).
@@ -807,7 +949,7 @@ def extract_page_spans(
     the operator layer's single poison-row catch holds for arbitrary
     garbage (one bad document must never kill a corpus-scale stage)."""
     try:
-        return _interpret_content(content, xobjects)
+        return _interpret_content(content, xobjects, fonts)
     except (IndexError, TypeError, AttributeError) as e:
         raise ValueError(f"pdf: malformed content stream: {e!r}") from e
 
@@ -815,6 +957,7 @@ def extract_page_spans(
 def _interpret_content(
     content: bytes,
     xobjects: Optional[Dict[str, Tuple[int, int]]] = None,
+    fonts: Optional[FontMap] = None,
 ) -> List[Span]:
     lx = _Lexer(content)
     spans: List[Span] = []
@@ -825,6 +968,7 @@ def _interpret_content(
     size = 0.0
     leading = 0.0
     in_text = False
+    font_name: Optional[str] = None
     n = len(content)
 
     def show(raw: bytes) -> None:
@@ -832,7 +976,19 @@ def _interpret_content(
             raise ValueError("pdf: text shown outside BT/ET")
         m = _mat_mul(tm, ctm)
         eff = size * (m[1] * m[1] + m[3] * m[3]) ** 0.5
-        spans.append(("text", m[4], m[5], eff, _decode_text(raw)))
+        cmap = fonts.get(font_name) if fonts and font_name else None
+        if cmap is not None:
+            # embedded-font path: glyph-code string through /ToUnicode
+            code_len, mapping = cmap
+            if len(raw) % code_len:
+                raise ValueError("pdf: show string is ragged for the font")
+            txt = "".join(
+                mapping.get(int.from_bytes(raw[k : k + code_len], "big"), "�")
+                for k in range(0, len(raw), code_len)
+            )
+        else:
+            txt = _decode_text(raw)
+        spans.append(("text", m[4], m[5], eff, txt))
 
     def next_line(tx: float, ty: float) -> Tuple[tuple, tuple]:
         new = _mat_mul((1.0, 0.0, 0.0, 1.0, tx, ty), tlm)
@@ -857,6 +1013,10 @@ def _interpret_content(
             in_text = False
         elif op == b"Tf":
             size = float(stack[-1])
+            fn = stack[-2]
+            if not isinstance(fn, Name):
+                raise ValueError("pdf: Tf font operand is not a name")
+            font_name = str(fn)
         elif op == b"TL":
             leading = float(stack[-1])
         elif op == b"Td":
@@ -929,7 +1089,11 @@ def parse_pdf_spans(data: bytes) -> List[List[Span]]:
     doc = PdfDocument(data)
     return [
         reading_order(
-            extract_page_spans(doc.page_content(p), doc.page_xobjects(p))
+            extract_page_spans(
+                doc.page_content(p),
+                doc.page_xobjects(p),
+                doc.page_fonts(p),
+            )
         )
         for p in doc.pages()
     ]
@@ -967,6 +1131,40 @@ def _text_bytes(text: str) -> bytes:
         return b"\xfe\xff" + text.encode("utf-16-be")
 
 
+def _tounicode_cmap(codes: Dict[str, int]) -> bytes:
+    """ToUnicode CMap for the synth Type0 font: 2-byte codes, half the
+    alphabet as bfchar pairs, the other half as ONE array-form bfrange
+    (so the end-to-end path exercises both block shapes); destinations
+    are full UTF-16BE (surrogate pairs stay whole, so non-BMP chars
+    survive the round trip)."""
+    items = sorted((c, ch) for ch, c in codes.items())
+    half = len(items) // 2
+    bf, rng = items[:half] or items, items[half:] if half else []
+    out = bytearray(
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /SynthToUnicode def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    )
+    if bf:
+        out += b"%d beginbfchar\n" % len(bf)
+        for c, ch in bf:
+            out += b"<%04X> <%s>\n" % (
+                c,
+                ch.encode("utf-16-be").hex().encode("ascii"),
+            )
+        out += b"endbfchar\n"
+    if rng:
+        # codes are assigned densely, so the tail is one contiguous run
+        out += b"1 beginbfrange\n<%04X> <%04X> [" % (rng[0][0], rng[-1][0])
+        for c, ch in rng:
+            out += b"<%s> " % ch.encode("utf-16-be").hex().encode("ascii")
+        out += b"]\nendbfrange\n"
+    out += (
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    )
+    return bytes(out)
+
+
 # a real 4x4 RGB image payload: the shared synth XObject every media
 # span's /Do references (content is a fixed gradient; dims carried in
 # the stream dict are what the extractor validates)
@@ -986,6 +1184,7 @@ def encode_pdf(
     seed: int = 0,
     variant: int = 0,
     xref_stream: bool = False,
+    cid_font: bool = False,
 ) -> bytes:
     """Write a PDF carrying the given positioned spans.
 
@@ -999,12 +1198,40 @@ def encode_pdf(
     PDF 1.5 shape real generators emit — dict-only objects packed into
     a ``/Type /ObjStm`` object stream and the cross-reference as a
     ``/Type /XRef`` stream with PNG Up-predicted (Predictor 12) rows.
+    ``cid_font=True`` swaps the simple Type1 font for a Type0/
+    Identity-H font with a /ToUnicode CMap: show strings become 2-byte
+    glyph-code sequences only the CMap can decode — the modern
+    embedded-font shape.
     """
     rng = random.Random(seed)
     objs: Dict[int, bytes] = {}
     stream_nums = set()  # objects that ARE streams (not ObjStm-packable)
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
-    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    codes: Dict[str, int] = {}
+    if cid_font:
+        alphabet = sorted(
+            {
+                ch
+                for page in pages
+                for sp in page
+                if sp[0] == "text"
+                for ch in sp[4]
+            }
+        )
+        codes = {ch: i + 1 for i, ch in enumerate(alphabet)}
+        if len(codes) > 0xFFFF:
+            raise ValueError("pdf: synth CID alphabet exceeds 2-byte codes")
+        cmap = _tounicode_cmap(codes)
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+            b"/Encoding /Identity-H /ToUnicode 5 0 R >>"
+        )
+        objs[5] = (
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        )
+        stream_nums.add(5)
+    else:
+        objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     img_num = 4
     stream_nums.add(img_num)
     img_data = zlib.compress(_IMG_SAMPLES, 6)
@@ -1017,7 +1244,7 @@ def encode_pdf(
         + b"\nendstream"
     )
 
-    next_num = 5
+    next_num = 6 if cid_font else 5
     page_nums: List[int] = []
     for spans in pages:
         order = list(range(len(spans)))
@@ -1034,7 +1261,12 @@ def encode_pdf(
                     % (_fmt_num(x), _fmt_num(y), name)
                 )
                 continue
-            raw = _text_bytes(payload)
+            if cid_font:
+                raw = b"".join(
+                    codes[ch].to_bytes(2, "big") for ch in payload
+                )
+            else:
+                raw = _text_bytes(payload)
             body = bytearray(b"BT /F1 %s Tf " % _fmt_num(size))
             if variant % 4 == 1:
                 # two relative moves composing to (x, y)

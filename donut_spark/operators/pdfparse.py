@@ -115,10 +115,13 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     written by ``core/pdf.py``'s writer. Encoding variants rotate by
     ``num % 4`` (Tm/Td positioning, TJ kern splits, hex strings, a
     two-stream /Contents array), ``num % 2`` picks FlateDecode vs raw
-    content streams, and ``num % 3 == 2`` docs get the PDF 1.5 file
-    shape (object stream + Predictor-12 xref stream) instead of the
-    classic 1.4 table — every cross-reference shape real generators
-    emit flows through the same parse. Emission order inside each page
+    content streams, ``num % 3 == 2`` docs get the PDF 1.5 file shape
+    (object stream + Predictor-12 xref stream) instead of the classic
+    1.4 table, and ``num % 5 == 3`` docs swap the Type1 font for a
+    Type0/Identity-H font with a /ToUnicode CMap (show strings become
+    2-byte glyph codes only the CMap can decode) — every
+    cross-reference and text-encoding shape real generators emit flows
+    through the same parse. Emission order inside each page
     is seed-shuffled so a parser that trusts stream order FAILS the
     oracle. Deterministic in doc_id alone — stable across partition
     layouts and cluster sizes.
@@ -141,6 +144,7 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                     seed=num * 7919 + 13,
                     variant=num % 4,
                     xref_stream=(num % 3 == 2),
+                    cid_font=(num % 5 == 3),
                 )
                 rows.append((doc_id, content))
             yield pd.DataFrame(rows, columns=["doc_id", "content"])

@@ -324,6 +324,97 @@ def test_objstm_poison_guards():
         doc.obj(Ref(9903))
 
 
+@pytest.mark.parametrize("variant", [0, 1, 2, 3])
+@pytest.mark.parametrize("xref_stream", [False, True])
+def test_cid_font_tounicode_roundtrip(variant, xref_stream):
+    """Type0/Identity-H + /ToUnicode: show strings are 2-byte glyph
+    codes, recoverable ONLY through the CMap — including non-BMP chars
+    (surrogate pairs kept whole in the destinations) and TJ kern splits
+    landing mid-code."""
+    pages = [
+        [
+            ("text", 72.0, 720.0, 12.0, "CID Hello ✓"),
+            ("text", 312.0, 720.0, 10.0, "astral 🚀𝄞 mix"),
+            ("media", 72.0, 684.0, 0.0, "img_c_0"),
+        ]
+    ]
+    data = encode_pdf(
+        pages,
+        compress=(variant % 2 == 0),
+        seed=variant + 77,
+        variant=variant,
+        xref_stream=xref_stream,
+        cid_font=True,
+    )
+    assert parse_pdf_spans(data) == pages
+    # and the bytes genuinely aren't latin-1/UTF-16 text: parsing the
+    # same show strings WITHOUT the CMap must give different text
+    doc = PdfDocument(data)
+    page = doc.pages()[0]
+    raw = extract_page_spans(
+        doc.page_content(page), doc.page_xobjects(page), fonts=None
+    )
+    assert {s[4] for s in raw if s[0] == "text"} != {
+        "CID Hello ✓",
+        "astral 🚀𝄞 mix",
+    }
+
+
+def test_parse_tounicode_forms_and_poison():
+    from donut_spark.core.pdf import parse_tounicode
+
+    cl, m = parse_tounicode(
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfrange <41> <43> <0061> endbfrange\n"
+        b"1 beginbfrange <50> <51> [<0058> <0059>] endbfrange\n"
+        b"2 beginbfchar <01> <0041> <02> <D83DDE00> endbfchar\n"
+        b"endcmap end"
+    )
+    assert cl == 1
+    assert [m[c] for c in (0x41, 0x42, 0x43)] == ["a", "b", "c"]
+    assert (m[0x50], m[0x51]) == ("X", "Y")
+    assert m[0x01] == "A" and m[0x02] == "\U0001f600"
+    # an odd hex-digit count zero-pads per spec, so <004> is a VALID
+    # 2-byte destination (0x0040 = "@"), not poison
+    _, m_pad = parse_tounicode(b"1 beginbfchar <01> <004> endbfchar")
+    assert m_pad[1] == "@"
+    for bad in [
+        b"1 beginbfchar <01> endbfchar",                  # odd items
+        b"1 beginbfrange <02> <01> <0061> endbfrange",    # hi < lo
+        b"1 beginbfrange <01> <03> [<0061>] endbfrange",  # array len
+        b"1 beginbfchar <01> <0041>",                     # unterminated
+        b"1 beginbfchar <01> 5 endbfchar",                # dst not a string
+    ]:
+        with pytest.raises(ValueError):
+            parse_tounicode(bad)
+    # a lone UTF-16 surrogate half in a destination is poison, and it
+    # must surface as a ValueError subclass (UnicodeDecodeError is one)
+    with pytest.raises(ValueError):
+        parse_tounicode(b"1 beginbfchar <01> <D83D> endbfchar")
+
+
+def test_cid_ragged_show_string_is_poison():
+    """A show string whose length doesn't divide by the font's code
+    width is poison, not a silent truncation."""
+    data = encode_pdf(
+        [[("text", 72.0, 700.0, 10.0, "ab")]], cid_font=True
+    )
+    doc = PdfDocument(data)
+    page = doc.pages()[0]
+    fonts = doc.page_fonts(page)
+    assert fonts["F1"] is not None and fonts["F1"][0] == 2
+    with pytest.raises(ValueError, match="ragged"):
+        extract_page_spans(
+            b"BT /F1 10 Tf 1 0 0 1 72 700 Tm <000102> Tj ET", fonts=fonts
+        )
+    # unknown code → U+FFFD replacement, never a crash
+    spans = extract_page_spans(
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm <9999> Tj ET", fonts=fonts
+    )
+    assert spans[0][4] == "�"
+
+
 def test_resources_inherited_from_pages_node():
     """/Resources hoisted onto the /Pages node (an inheritable
     attribute real generators rely on) must still resolve the page's
@@ -458,6 +549,7 @@ def test_fuzz_roundtrip(data):
     variant = data.draw(st.integers(0, 3))
     compress = data.draw(st.booleans())
     xref_stream = data.draw(st.booleans())
+    cid_font = data.draw(st.booleans())
     texts = data.draw(
         st.lists(
             st.text(
@@ -496,6 +588,7 @@ def test_fuzz_roundtrip(data):
             seed=rng_seed,
             variant=variant,
             xref_stream=xref_stream,
+            cid_font=cid_font,
         )
     )
     assert out == pages
