@@ -394,6 +394,38 @@ def test_parse_tounicode_forms_and_poison():
         parse_tounicode(b"1 beginbfchar <01> <D83D> endbfchar")
 
 
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_fuzz_cmap_garbage_never_escapes(blob):
+    """Arbitrary bytes as a /ToUnicode stream: parse or ValueError,
+    never an uncaught IndexError/TypeError/KeyError (the CMap parse
+    runs inside page_fonts, i.e. inside the operator's poison-row
+    catch, which only converts ValueError)."""
+    from donut_spark.core.pdf import parse_tounicode
+
+    try:
+        parse_tounicode(blob)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_fuzz_cmap_block_garbage_never_escapes(blob):
+    """Same, but with the bytes dropped INSIDE a bfchar/bfrange block
+    where the structured parsing happens."""
+    from donut_spark.core.pdf import parse_tounicode
+
+    for wrapped in (
+        b"1 beginbfchar " + blob + b" endbfchar",
+        b"1 beginbfrange " + blob + b" endbfrange",
+    ):
+        try:
+            parse_tounicode(wrapped)
+        except ValueError:
+            pass
+
+
 def test_cid_ragged_show_string_is_poison():
     """A show string whose length doesn't divide by the font's code
     width is poison, not a silent truncation."""
