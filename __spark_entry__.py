@@ -369,12 +369,14 @@ def q55_pdf_extract(spark, sf):
     REAL PDF by the from-scratch writer (core/pdf.py): positioned text
     show-ops + image-XObject /Do ops on a closed-form two-column grid,
     encoding variants rotating per doc (Tm vs composed Td, TJ kern
-    splits, hex strings, two-stream /Contents, Flate vs raw, UTF-16BE
-    text strings, per num%3 the classic 1.4 xref table vs the PDF 1.5
-    shape — object streams + Predictor-12 cross-reference stream — and
-    per num%5 a Type0/Identity-H font whose 2-byte glyph codes only the
-    embedded /ToUnicode CMap can decode), and — the point — EMISSION
-    ORDER SHUFFLED,
+    splits, hex strings, two-stream /Contents, UTF-16BE text strings,
+    per num%7 the content-stream filter chain — raw / Flate / LZW /
+    [ASCII85+Flate] / [ASCIIHex+LZW] — per num%3 the classic 1.4 xref
+    table vs the PDF 1.5 shape — object streams + Predictor-12
+    cross-reference stream — per num%5 a Type0/Identity-H font whose
+    2-byte glyph codes only the embedded /ToUnicode CMap can decode,
+    plus decoy BI…ID…EI inline images whose samples may contain 'EI'),
+    and — the point — EMISSION ORDER SHUFFLED,
     so only a parser that recovers reading order from device-space
     layout (page, top-to-bottom line, left-to-right x) can win. The
     extractor (operators/pdfparse.py) parses the bytes back through the

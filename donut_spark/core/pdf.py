@@ -17,9 +17,15 @@ Scope (documented, quarantine-guarded like the other codecs):
   hybrid-reference files (classic trailer with ``/XRefStm``) — the
   three cross-reference shapes real generators emit;
 * object streams (``/Type /ObjStm``) for compressed objects;
-* ``/FlateDecode`` filters (stdlib zlib), with ``/DecodeParms`` PNG
+* filters ``/FlateDecode`` (stdlib zlib), ``/LZWDecode`` (own 9→12-bit
+  MSB decoder, EarlyChange + clear codes), ``/ASCIIHexDecode`` and
+  ``/ASCII85Decode`` (incl. ``z`` shorthand and partial final groups),
+  chained in ``/Filter`` arrays, each with ``/DecodeParms`` PNG
   predictors 10-15 (the encoding every real xref stream uses); TIFF
   predictor 2 and any other filter raise;
+* inline images (``BI…ID…EI``) skipped by COMPUTED sample length (so
+  sample bytes containing 'EI' can't mis-cut the stream) — decorative,
+  never content spans; filtered inline images raise;
 * encrypted documents (``/Encrypt`` in the trailer) raise;
 * text strings in PDFDocEncoding (latin-1 range) or BOM-marked
   UTF-16BE — both spec-conformant "text string" encodings — and, when
@@ -368,6 +374,223 @@ def _apply_predictor(data: bytes, parms, resolve) -> bytes:
         out += row
         prev = bytes(row)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# stream filters
+# ---------------------------------------------------------------------------
+
+
+def _flate_decode(data: bytes) -> bytes:
+    try:
+        # bounded decompress: a crafted flate bomb must hit the
+        # poison-row path, not OOM an executor (core/png.py discipline)
+        d = zlib.decompressobj()
+        out = d.decompress(data, MAX_STREAM_BYTES)
+        if d.unconsumed_tail:
+            raise ValueError("pdf: stream exceeds decompression cap")
+        if not d.eof:
+            raise ValueError("pdf: truncated flate stream")
+        return out
+    except zlib.error as e:
+        raise ValueError(f"pdf: bad flate stream: {e}") from e
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF /LZWDecode (ISO 32000-1 §7.4.4.2): MSB-first variable-width
+    codes 9→12 bits, 256 = clear table, 257 = end of data,
+    ``EarlyChange`` growing the width one code early (the default).
+    Output is capped like flate (bomb guard)."""
+    out = bytearray()
+    table: Dict[int, bytes] = {}
+    width = 9
+    next_code = 258
+    prev: Optional[bytes] = None
+    bitbuf = 0
+    bits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            bitbuf &= (1 << bits) - 1
+            if code == 256:
+                table.clear()
+                width, next_code, prev = 9, 258, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError("pdf: bad first LZW code")
+                entry = bytes([code])
+                out += entry
+            else:
+                if code < 256:
+                    entry = bytes([code])
+                elif code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]  # the KwKwK case
+                else:
+                    raise ValueError("pdf: bad LZW code")
+                if next_code <= 4095:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+                out += entry
+                if len(out) > MAX_STREAM_BYTES:
+                    raise ValueError("pdf: stream exceeds decompression cap")
+                if next_code + early >= (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    raise ValueError("pdf: LZW stream missing EOD")
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Encoder twin of :func:`_lzw_decode` (synth writer + tests). The
+    output width tracks a simulation of the DECODER's table growth, so
+    the two stay bit-synchronized by construction."""
+    table: Dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    dec_next, dec_width = 258, 9
+    outbits: List[Tuple[int, int]] = []
+    n_emitted = 0
+
+    def emit(code: int) -> None:
+        nonlocal n_emitted, dec_next, dec_width
+        outbits.append((code, dec_width))
+        n_emitted += 1
+        if n_emitted >= 2:
+            # the decoder adds one table entry per code from the 2nd on
+            if dec_next <= 4095:
+                dec_next += 1
+            if dec_next + early >= (1 << dec_width) and dec_width < 12:
+                dec_width += 1
+
+    def emit_clear() -> None:
+        nonlocal table, next_code, dec_next, dec_width, n_emitted
+        outbits.append((256, dec_width))
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        dec_next, dec_width, n_emitted = 258, 9, 0
+
+    w = b""
+    for i in range(len(data)):
+        wc = w + data[i : i + 1]
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code > 4095:
+            # table full: clear and start fresh (what real encoders do)
+            emit_clear()
+        else:
+            table[wc] = next_code
+            next_code += 1
+        w = data[i : i + 1]
+    if w:
+        emit(table[w])
+    outbits.append((257, dec_width))
+    buf = bytearray()
+    acc = accbits = 0
+    for code, cw in outbits:
+        acc = (acc << cw) | code
+        accbits += cw
+        while accbits >= 8:
+            buf.append((acc >> (accbits - 8)) & 0xFF)
+            accbits -= 8
+            acc &= (1 << accbits) - 1
+    if accbits:
+        buf.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(buf)
+
+
+_HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    hx = bytearray()
+    for c in data:
+        if c in _HEX_DIGITS:
+            hx.append(c)
+        elif c == 0x3E:  # '>' EOD
+            break
+        elif bytes([c]) not in _WHITESPACE:
+            raise ValueError("pdf: bad ASCIIHex character")
+    else:
+        raise ValueError("pdf: ASCIIHex stream missing '>'")
+    if len(hx) % 2:
+        hx.append(0x30)  # odd count: final digit 0 implied
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _asciihex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    out = bytearray()
+    group: List[int] = []
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if bytes([c]) in _WHITESPACE:
+            i += 1
+            continue
+        if c == 0x7E:  # '~' → expect '~>'
+            if data[i : i + 2] != b"~>":
+                raise ValueError("pdf: bad ASCII85 terminator")
+            break
+        if c == 0x7A:  # 'z' = four zero bytes, only between groups
+            if group:
+                raise ValueError("pdf: 'z' inside ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not (0x21 <= c <= 0x75):
+            raise ValueError("pdf: bad ASCII85 character")
+        group.append(c - 33)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("pdf: ASCII85 group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+        i += 1
+    else:
+        raise ValueError("pdf: ASCII85 stream missing '~>'")
+    if group:
+        if len(group) == 1:
+            raise ValueError("pdf: lone trailing ASCII85 character")
+        k = len(group)
+        v = 0
+        for g in group + [84] * (5 - k):
+            v = v * 85 + g
+        if v > 0xFFFFFFFF:
+            raise ValueError("pdf: ASCII85 group overflow")
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for j in range(0, len(data), 4):
+        chunk = data[j : j + 4]
+        pad = 4 - len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * pad, "big")
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        enc = bytes(d + 33 for d in reversed(digits))
+        if pad == 0 and enc == b"!!!!!":
+            out += b"z"
+        else:
+            out += enc[: 5 - pad]
+    return bytes(out) + b"~>"
 
 
 # ---------------------------------------------------------------------------
@@ -785,22 +1008,21 @@ class PdfDocument:
         data = s.raw
         for f, p in zip(filters, parm_list):
             f, p = self.resolve(f), self.resolve(p)
-            if f == Name("FlateDecode"):
-                try:
-                    # bounded decompress: a crafted flate bomb must hit
-                    # the poison-row path, not OOM an executor (same
-                    # guard discipline as core/png.py)
-                    d = zlib.decompressobj()
-                    data = d.decompress(data, MAX_STREAM_BYTES)
-                    if d.unconsumed_tail:
-                        raise ValueError(
-                            "pdf: stream exceeds decompression cap"
-                        )
-                    if not d.eof:
-                        raise ValueError("pdf: truncated flate stream")
-                except zlib.error as e:
-                    raise ValueError(f"pdf: bad flate stream: {e}") from e
+            if f == Name("FlateDecode") or f == Name("Fl"):
+                data = _flate_decode(data)
                 data = _apply_predictor(data, p, self.resolve)
+            elif f == Name("LZWDecode") or f == Name("LZW"):
+                early = 1
+                if isinstance(p, dict):
+                    early = self.resolve(p.get("EarlyChange", 1))
+                    if early not in (0, 1):
+                        raise ValueError("pdf: bad LZW EarlyChange")
+                data = _lzw_decode(data, early)
+                data = _apply_predictor(data, p, self.resolve)
+            elif f == Name("ASCIIHexDecode") or f == Name("AHx"):
+                data = _asciihex_decode(data)
+            elif f == Name("ASCII85Decode") or f == Name("A85"):
+                data = _ascii85_decode(data)
             else:
                 raise ValueError(f"pdf: filter {f!r} unsupported")
         return data
@@ -1051,6 +1273,56 @@ def _interpret_content(
             if xobjects is not None and str(name) not in xobjects:
                 raise ValueError(f"pdf: undefined XObject /{name}")
             spans.append(("media", ctm[4], ctm[5], 0.0, str(name)))
+        elif op == b"BI":
+            # inline image: its dict is parsed inline and the raw
+            # sample bytes are skipped by COMPUTED length (w×h×bpc —
+            # scanning for 'EI' would mis-cut on sample bytes that
+            # happen to contain it). Inline images are decorative
+            # (masks, rules, icons) — consumed, never a content span;
+            # document-level media rides named-XObject /Do refs.
+            d: dict = {}
+            while True:
+                lx._skip_ws()
+                if content[lx.i : lx.i + 1] == b"/":
+                    key = lx.read_obj(allow_ref=False)
+                    d[str(key)] = lx.read_obj(allow_ref=False)
+                else:
+                    if lx._read_token_word() != b"ID":
+                        raise ValueError("pdf: bad inline image dict")
+                    break
+            i2 = lx.i
+            if i2 < n and content[i2 : i2 + 1] in _WHITESPACE:
+                i2 += 1  # exactly one whitespace after ID, then samples
+            if "F" in d or "Filter" in d:
+                raise ValueError("pdf: filtered inline images unsupported")
+            wd = d.get("W", d.get("Width"))
+            ht = d.get("H", d.get("Height"))
+            bpc = d.get("BPC", d.get("BitsPerComponent", 8))
+            cs = d.get("CS", d.get("ColorSpace"))
+            comps = {
+                None: 1,
+                "G": 1,
+                "DeviceGray": 1,
+                "RGB": 3,
+                "DeviceRGB": 3,
+                "CMYK": 4,
+                "DeviceCMYK": 4,
+            }.get(str(cs) if cs is not None else None)
+            if (
+                not isinstance(wd, int)
+                or not isinstance(ht, int)
+                or wd <= 0
+                or ht <= 0
+                or comps is None
+                or bpc not in (1, 2, 4, 8)
+            ):
+                raise ValueError("pdf: inline image geometry unsupported")
+            nbytes = ((wd * comps * bpc + 7) // 8) * ht
+            if nbytes > (1 << 24) or i2 + nbytes > n:
+                raise ValueError("pdf: inline image truncated")
+            lx.i = i2 + nbytes
+            if lx._read_token_word() != b"EI":
+                raise ValueError("pdf: inline image missing EI")
         elif op == b"q":
             gs_stack.append(ctm)
         elif op == b"Q":
@@ -1177,6 +1449,45 @@ _IMG_SAMPLES = bytes(
 )
 
 
+def _encode_stream_obj(data: bytes, mode: Optional[str]) -> bytes:
+    """Content-stream object with the given filter chain applied."""
+    if mode is None:
+        body, filt = data, b""
+    elif mode == "flate":
+        body, filt = zlib.compress(data, 6), b" /Filter /FlateDecode"
+    elif mode == "lzw":
+        body, filt = _lzw_encode(data), b" /Filter /LZWDecode"
+    elif mode == "a85flate":
+        body = _ascii85_encode(zlib.compress(data, 6))
+        filt = b" /Filter [/ASCII85Decode /FlateDecode]"
+    elif mode == "ahxlzw":
+        body = _asciihex_encode(_lzw_encode(data))
+        filt = b" /Filter [/ASCIIHexDecode /LZWDecode]"
+    else:
+        raise ValueError(f"pdf: unknown stream filter mode {mode!r}")
+    return (
+        b"<< /Length %d%s >>\nstream\n" % (len(body), filt)
+        + body
+        + b"\nendstream"
+    )
+
+
+def _inline_image_chunk(rng: random.Random) -> bytes:
+    """A decorative BI…ID…EI inline image (decoy): random dims/colors,
+    raw samples that may legitimately contain the bytes 'EI' — only a
+    computed-length reader survives it."""
+    wd, ht = rng.randrange(1, 4), rng.randrange(1, 3)
+    gray = rng.random() < 0.5
+    comps = 1 if gray else 3
+    samples = bytes(rng.randrange(256) for _ in range(wd * comps * ht))
+    cs = b"/G" if gray else b"/RGB"
+    return (
+        b"BI /W %d /H %d /CS %s /BPC 8 ID " % (wd, ht, cs)
+        + samples
+        + b" EI\n"
+    )
+
+
 def encode_pdf(
     pages: List[List[Span]],
     *,
@@ -1185,6 +1496,7 @@ def encode_pdf(
     variant: int = 0,
     xref_stream: bool = False,
     cid_font: bool = False,
+    stream_filter: Optional[str] = None,
 ) -> bytes:
     """Write a PDF carrying the given positioned spans.
 
@@ -1193,15 +1505,20 @@ def encode_pdf(
     two-stream /Contents array; 2: ``TJ`` arrays with kern splits; 3:
     hex strings); emission order within each page is shuffled by
     ``seed`` so reading order is NOT stream order — the extractor's
-    layout sort has to earn it. ``xref_stream=False`` writes the
-    classic PDF 1.4 shape (xref table + trailer); ``True`` writes the
-    PDF 1.5 shape real generators emit — dict-only objects packed into
-    a ``/Type /ObjStm`` object stream and the cross-reference as a
-    ``/Type /XRef`` stream with PNG Up-predicted (Predictor 12) rows.
-    ``cid_font=True`` swaps the simple Type1 font for a Type0/
-    Identity-H font with a /ToUnicode CMap: show strings become 2-byte
-    glyph-code sequences only the CMap can decode — the modern
-    embedded-font shape.
+    layout sort has to earn it. The shuffle also sprinkles decoy
+    BI…ID…EI inline images between the real operators (their samples
+    may contain 'EI' — a scan-for-EI reader mis-cuts). ``xref_stream=
+    False`` writes the classic PDF 1.4 shape (xref table + trailer);
+    ``True`` writes the PDF 1.5 shape real generators emit — dict-only
+    objects packed into a ``/Type /ObjStm`` object stream and the
+    cross-reference as a ``/Type /XRef`` stream with PNG Up-predicted
+    (Predictor 12) rows. ``cid_font=True`` swaps the simple Type1 font
+    for a Type0/Identity-H font with a /ToUnicode CMap: show strings
+    become 2-byte glyph-code sequences only the CMap can decode — the
+    modern embedded-font shape. ``stream_filter`` picks the content
+    streams' filter chain (None raw, ``flate``, ``lzw``, ``a85flate`` =
+    [/ASCII85Decode /FlateDecode], ``ahxlzw`` = [/ASCIIHexDecode
+    /LZWDecode]); it overrides the legacy ``compress`` flag.
     """
     rng = random.Random(seed)
     objs: Dict[int, bytes] = {}
@@ -1288,27 +1605,22 @@ def encode_pdf(
                 body += b"(%s) Tj" % _esc_literal(raw)
             body += b" ET\n"
             chunks.append(bytes(body))
+            if rng.random() < 0.3:
+                chunks.append(_inline_image_chunk(rng))
 
-        def _stream_obj(data: bytes) -> bytes:
-            if compress:
-                data = zlib.compress(data, 6)
-                sd = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
-            else:
-                sd = b"<< /Length %d >>" % len(data)
-            return sd + b"\nstream\n" + data + b"\nendstream"
-
+        mode = stream_filter if stream_filter else ("flate" if compress else None)
         if variant % 4 == 1 and len(chunks) > 1:
             # exercise the /Contents-array path: split at an op boundary
             cut = len(chunks) // 2
             cnum1, cnum2 = next_num, next_num + 1
-            objs[cnum1] = _stream_obj(b"".join(chunks[:cut]))
-            objs[cnum2] = _stream_obj(b"".join(chunks[cut:]))
+            objs[cnum1] = _encode_stream_obj(b"".join(chunks[:cut]), mode)
+            objs[cnum2] = _encode_stream_obj(b"".join(chunks[cut:]), mode)
             stream_nums.update((cnum1, cnum2))
             contents = b"[%d 0 R %d 0 R]" % (cnum1, cnum2)
             next_num += 2
         else:
             cnum = next_num
-            objs[cnum] = _stream_obj(b"".join(chunks))
+            objs[cnum] = _encode_stream_obj(b"".join(chunks), mode)
             stream_nums.add(cnum)
             contents = b"%d 0 R" % cnum
             next_num += 1

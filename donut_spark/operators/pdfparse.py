@@ -114,14 +114,16 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     order ground truth) is laid out on the closed-form grid above and
     written by ``core/pdf.py``'s writer. Encoding variants rotate by
     ``num % 4`` (Tm/Td positioning, TJ kern splits, hex strings, a
-    two-stream /Contents array), ``num % 2`` picks FlateDecode vs raw
-    content streams, ``num % 3 == 2`` docs get the PDF 1.5 file shape
+    two-stream /Contents array), ``num % 7`` picks the content-stream
+    filter chain (raw / FlateDecode / LZWDecode / [ASCII85+Flate] /
+    [ASCIIHex+LZW]), ``num % 3 == 2`` docs get the PDF 1.5 file shape
     (object stream + Predictor-12 xref stream) instead of the classic
     1.4 table, and ``num % 5 == 3`` docs swap the Type1 font for a
     Type0/Identity-H font with a /ToUnicode CMap (show strings become
     2-byte glyph codes only the CMap can decode) — every
-    cross-reference and text-encoding shape real generators emit flows
-    through the same parse. Emission order inside each page
+    cross-reference, filter and text-encoding shape real generators
+    emit flows through the same parse, and decoy BI…ID…EI inline
+    images are sprinkled between operators. Emission order inside each page
     is seed-shuffled so a parser that trusts stream order FAILS the
     oracle. Deterministic in doc_id alone — stable across partition
     layouts and cluster sizes.
@@ -140,11 +142,19 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                 pages = doc_layout_pages(num, list(expected))
                 content = encode_pdf(
                     pages,
-                    compress=(num % 2 == 0),
                     seed=num * 7919 + 13,
                     variant=num % 4,
                     xref_stream=(num % 3 == 2),
                     cid_font=(num % 5 == 3),
+                    stream_filter=(
+                        None,
+                        "flate",
+                        "lzw",
+                        "flate",
+                        "a85flate",
+                        None,
+                        "ahxlzw",
+                    )[num % 7],
                 )
                 rows.append((doc_id, content))
             yield pd.DataFrame(rows, columns=["doc_id", "content"])

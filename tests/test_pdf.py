@@ -324,6 +324,88 @@ def test_objstm_poison_guards():
         doc.obj(Ref(9903))
 
 
+@pytest.mark.parametrize(
+    "mode", [None, "flate", "lzw", "a85flate", "ahxlzw"]
+)
+def test_stream_filter_chains_roundtrip(mode):
+    """Every content-stream filter chain the writer rotates (incl. the
+    two-element arrays, decoded in list order) parses back to the same
+    spans."""
+    data = encode_pdf(PAGES, seed=9, variant=2, stream_filter=mode)
+    assert parse_pdf_spans(data) == PAGES
+
+
+def test_filter_codecs_unit_and_poison():
+    from donut_spark.core.pdf import (
+        _ascii85_decode,
+        _ascii85_encode,
+        _asciihex_decode,
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # classic LZW reference vector (the TIFF/PDF 9-bit example)
+    assert _lzw_decode(_lzw_encode(b"AAAAAAAA")) == b"AAAAAAAA"
+    # 12-bit growth + mid-stream clear survive the round trip
+    big = bytes((i * i) % 251 for i in range(60_000))
+    assert _lzw_decode(_lzw_encode(big)) == big
+    # Adobe's spec example for ASCII85 z shorthand + partial group
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _ascii85_decode(_ascii85_encode(b"sure.")) == b"sure."
+    assert _asciihex_decode(b"48 65 6C 6C 6F>") == b"Hello"
+    assert _asciihex_decode(b"486>") == b"H`"  # odd digit pads 0
+    for fn, bad in [
+        (_ascii85_decode, b"abc"),           # no terminator
+        (_ascii85_decode, b"v~>"),           # char out of range
+        (_ascii85_decode, b"!z~>"),          # z inside a group
+        (_ascii85_decode, b"!~>"),           # lone trailing char
+        (_ascii85_decode, b"uuuuu~>"),       # group > 2^32
+        (_asciihex_decode, b"4g>"),          # bad hex char
+        (_asciihex_decode, b"48"),           # missing '>'
+        (_lzw_decode, b"\xff\xff\xff"),      # bad code, no EOD
+        (_lzw_decode, b""),                  # missing EOD
+    ]:
+        with pytest.raises(ValueError):
+            fn(bad)
+
+
+def test_inline_images_consumed_not_content():
+    """BI…ID…EI inline images: skipped by computed sample length (the
+    samples here CONTAIN the bytes 'EI' — a scan-for-EI reader would
+    mis-cut), never emitted as spans, and malformed ones are poison."""
+    inline = b"BI /W 2 /H 1 /CS /RGB /BPC 8 ID \x45\x49EIEI\x00 EI\n"
+    content = (
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (before) Tj ET\n"
+        + inline
+        + b"BT /F1 10 Tf 1 0 0 1 72 688 Tm (after) Tj ET"
+    )
+    spans = _interp(content)
+    assert [s[4] for s in spans] == ["before", "after"]
+    # abbreviated and full key names both parse
+    full = b"BI /Width 1 /Height 1 /ColorSpace /DeviceGray /BitsPerComponent 8 ID \xaa EI"
+    assert _interp(full) == []
+    with pytest.raises(ValueError, match="truncated"):
+        _interp(b"BI /W 9 /H 9 /CS /RGB /BPC 8 ID \x00\x01 EI")
+    with pytest.raises(ValueError, match="filtered inline"):
+        _interp(b"BI /W 1 /H 1 /F /Fl /BPC 8 ID x EI")
+    with pytest.raises(ValueError, match="geometry"):
+        _interp(b"BI /W 0 /H 1 /BPC 8 ID  EI")
+    with pytest.raises(ValueError, match="missing EI"):
+        _interp(b"BI /W 1 /H 1 /BPC 8 ID \x00 XX")
+
+
+def test_writer_sprinkles_inline_decoys():
+    """The synth writer's decoy inline images are really in the bytes
+    (so the roundtrip above proves the reader skips them)."""
+    found = False
+    for seed in range(12):
+        data = encode_pdf(PAGES, seed=seed, variant=0)
+        if b" ID " in data or b"BI /W" in data:
+            found = True
+            break
+    assert found, "no decoy inline image in 12 seeds"
+
+
 @pytest.mark.parametrize("variant", [0, 1, 2, 3])
 @pytest.mark.parametrize("xref_stream", [False, True])
 def test_cid_font_tounicode_roundtrip(variant, xref_stream):
@@ -582,6 +664,9 @@ def test_fuzz_roundtrip(data):
     compress = data.draw(st.booleans())
     xref_stream = data.draw(st.booleans())
     cid_font = data.draw(st.booleans())
+    stream_filter = data.draw(
+        st.sampled_from([None, "flate", "lzw", "a85flate", "ahxlzw"])
+    )
     texts = data.draw(
         st.lists(
             st.text(
@@ -621,6 +706,7 @@ def test_fuzz_roundtrip(data):
             variant=variant,
             xref_stream=xref_stream,
             cid_font=cid_font,
+            stream_filter=stream_filter,
         )
     )
     assert out == pages
