@@ -1356,6 +1356,53 @@ def reading_order(spans: List[Span], line_tol: float = 2.0) -> List[Span]:
     return out
 
 
+def detect_columns(spans: List[Span], min_gap: float = 90.0) -> List[float]:
+    """Column-gutter detection over span x-origins: clusters of origins
+    separated by a horizontal gap wider than ``min_gap`` device units
+    are distinct columns. Returns the inner boundaries (midpoints of
+    the gutters), empty for a single-column page.
+
+    This is the text-block-segmentation half of the SynthDoG-style
+    layout heuristics (the reference's multi-column page generator:
+    synthdog/layouts/grid.py + grid_stack.py, max_col up to 3 columns
+    per row block): origins alone suffice because left-aligned blocks share
+    their column's left edge, and the gutter of a real multi-column
+    layout is far wider than intra-column x jitter."""
+    xs = sorted({s[1] for s in spans})
+    if len(xs) < 2:
+        return []
+    boundaries: List[float] = []
+    for a, b in zip(xs, xs[1:]):
+        if b - a > min_gap:
+            boundaries.append((a + b) / 2.0)
+    return boundaries
+
+
+def reading_order_columnar(
+    spans: List[Span], line_tol: float = 2.0, min_gap: float = 90.0
+) -> List[Span]:
+    """COLUMN-MAJOR reading order: detect column gutters, read each
+    column fully (top-to-bottom lines, left-to-right in a line) before
+    moving right to the next — how humans read a real two-column page.
+    With no detected gutter this degrades to :func:`reading_order`
+    exactly. The synth fixture's ground truth is row-major (its grid is
+    a table, not columns), so the oracle path keeps ``reading_order``;
+    this mode is for real multi-column documents."""
+    boundaries = detect_columns(spans, min_gap)
+    if not boundaries:
+        return reading_order(spans, line_tol)
+    def col_of(s: Span) -> int:
+        x = s[1]
+        for ci, b in enumerate(boundaries):
+            if x < b:
+                return ci
+        return len(boundaries)
+    out: List[Span] = []
+    for ci in range(len(boundaries) + 1):
+        out.extend(reading_order([s for s in spans if col_of(s) == ci], line_tol))
+    return out
+
+
 def parse_pdf_spans(data: bytes) -> List[List[Span]]:
     """bytes → per-page spans in READING order (the public entrypoint)."""
     doc = PdfDocument(data)

@@ -121,6 +121,42 @@ def test_reading_order_line_tolerance_and_columns():
     assert [s[4] for s in reading_order(spans)] == ["a", "b", "c"]
 
 
+def test_columnar_reading_order():
+    """A two-column page: line-major order interleaves the columns;
+    column-major reads the left column fully first. Single-column
+    input degrades to plain reading_order exactly."""
+    from donut_spark.core.pdf import detect_columns, reading_order_columnar
+
+    two_col = [
+        ("text", 72.0, 700.0, 9.0, "L1"),
+        ("text", 320.0, 700.0, 9.0, "R1"),
+        ("text", 74.0, 664.0, 9.0, "L2"),   # +2 x-jitter, same column
+        ("text", 322.0, 664.0, 9.0, "R2"),
+        ("text", 72.0, 628.0, 9.0, "L3"),
+    ]
+    assert detect_columns(two_col) == [(74.0 + 320.0) / 2]
+    assert [s[4] for s in reading_order(two_col)] == [
+        "L1", "R1", "L2", "R2", "L3",
+    ]
+    assert [s[4] for s in reading_order_columnar(two_col)] == [
+        "L1", "L2", "L3", "R1", "R2",
+    ]
+    one_col = [s for s in two_col if s[1] < 100]
+    assert reading_order_columnar(one_col) == reading_order(one_col)
+    assert detect_columns(one_col) == []
+    assert reading_order_columnar([]) == []
+    # three columns
+    three = [
+        ("text", 10.0, 700.0, 9.0, "A"),
+        ("text", 210.0, 700.0, 9.0, "B"),
+        ("text", 410.0, 700.0, 9.0, "C"),
+        ("text", 10.0, 690.0, 9.0, "A2"),
+    ]
+    assert [s[4] for s in reading_order_columnar(three)] == [
+        "A", "A2", "B", "C",
+    ]
+
+
 def test_incremental_update_prev_chain():
     """An appended xref section with /Prev must win for re-written
     objects (newest-first resolution)."""
