@@ -34,6 +34,10 @@ Scope (documented, quarantine-guarded like the other codecs):
   with 1-byte codes), show-string bytes are decoded through the CMap
   (``begincodespacerange``/``beginbfchar``/``beginbfrange`` incl. both
   range destination forms; ``usecmap`` composition is out of subset);
+  without ToUnicode, a simple font's ``/Encoding`` — WinAnsi/MacRoman/
+  Standard base names and ``/Differences`` glyph-name remaps (AGL
+  ASCII names + the uniXXXX/uXXXX conventions) — builds the legacy
+  1-byte decode table;
 * the text-positioning subset of the content-stream operator set:
   ``BT ET Tf Td TD Tm T* TL Tj TJ ' "`` plus graphics state ``q Q cm``
   and image placement ``Do`` (interleaved media spans); every other
@@ -699,6 +703,69 @@ FontMap = Dict[str, Optional[Tuple[int, Dict[int, str]]]]
 
 
 # ---------------------------------------------------------------------------
+# simple-font encodings (the legacy pre-ToUnicode text path)
+# ---------------------------------------------------------------------------
+
+# the ASCII slice of the Adobe Glyph List — enough for the /Differences
+# arrays legacy generators emit with named Latin glyphs; everything
+# else resolves via the uniXXXX / uXXXX[XX] conventions below
+_AGL_ASCII = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    **{c: c for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"},
+}
+
+_GLYPH_UNI_RE = re.compile(r"uni((?:[0-9A-Fa-f]{4})+)\Z")
+_GLYPH_U_RE = re.compile(r"u([0-9A-Fa-f]{4,6})\Z")
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """Adobe glyph-naming conventions: ``uniXXXX`` (one or more UTF-16BE
+    units), ``uXXXX``–``uXXXXXX`` (a code point), the ASCII AGL names;
+    anything unresolvable maps to U+FFFD (lenient — a wrong glyph name
+    must cost one character, not the document)."""
+    m = _GLYPH_UNI_RE.match(name)
+    if m:
+        return bytes.fromhex(m.group(1)).decode("utf-16-be", "replace")
+    m = _GLYPH_U_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+            return "�"
+        return chr(cp)
+    return _AGL_ASCII.get(name, "�")
+
+
+# /StandardEncoding is approximated by cp1252 (they agree on ASCII,
+# which is all the synth twin emits through a base table; legacy
+# punctuation slots that differ resolve via /Differences in practice)
+_BASE_ENCODINGS = {
+    "WinAnsiEncoding": "cp1252",
+    "MacRomanEncoding": "mac_roman",
+    "StandardEncoding": "cp1252",
+}
+
+
+def _codec_table(codec: str) -> Dict[int, str]:
+    table: Dict[int, str] = {}
+    for b in range(256):
+        try:
+            table[b] = bytes([b]).decode(codec)
+        except UnicodeDecodeError:
+            pass  # undefined slot → U+FFFD at show time
+    return table
+
+
+# ---------------------------------------------------------------------------
 # document reader
 # ---------------------------------------------------------------------------
 
@@ -1104,8 +1171,12 @@ class PdfDocument:
         A font with a ``/ToUnicode`` stream gets its CMap parsed; the
         code width comes from the CMap's codespacerange, else from the
         subtype (Type0/Identity-H = 2-byte codes, simple fonts =
-        1-byte). Fonts without ToUnicode map to None — show strings
-        fall back to the text-string decode."""
+        1-byte). Without ToUnicode, a simple font's ``/Encoding`` —
+        a base-encoding name (WinAnsi/MacRoman/Standard) or a dict
+        with ``/BaseEncoding`` + ``/Differences`` glyph-name remaps —
+        builds the 1-byte table (the legacy text path). Fonts with
+        neither map to None — show strings fall back to the
+        text-string decode."""
         res = self.resolve(page.get("Resources"))
         if not isinstance(res, dict):
             return {}
@@ -1119,7 +1190,9 @@ class PdfDocument:
                 raise ValueError(f"pdf: font /{name} is not a dict")
             tu = self.resolve(f.get("ToUnicode"))
             if tu is None:
-                out[str(name)] = None
+                out[str(name)] = self._encoding_map(
+                    self.resolve(f.get("Encoding"))
+                )
                 continue
             if not isinstance(tu, Stream):
                 raise ValueError("pdf: /ToUnicode is not a stream")
@@ -1128,6 +1201,41 @@ class PdfDocument:
                 code_len = 2 if f.get("Subtype") == Name("Type0") else 1
             out[str(name)] = (code_len, mapping)
         return out
+
+    def _encoding_map(
+        self, enc: PdfObj
+    ) -> Optional[Tuple[int, Dict[int, str]]]:
+        """A simple font's /Encoding → 1-byte decode table, or None for
+        the text-string fallback (no encoding, or an encoding we can't
+        table — e.g. Identity-H without ToUnicode, whose text is
+        unextractable without the font program; garbling one font must
+        not quarantine the document's other fonts)."""
+        if enc is None:
+            return None
+        if isinstance(enc, Name):
+            codec = _BASE_ENCODINGS.get(str(enc))
+            return (1, _codec_table(codec)) if codec else None
+        if not isinstance(enc, dict):
+            raise ValueError("pdf: bad /Encoding")
+        base = enc.get("BaseEncoding")
+        codec = _BASE_ENCODINGS.get(str(base), "cp1252") if base else "cp1252"
+        table = _codec_table(codec)
+        diffs = self.resolve(enc.get("Differences"))
+        if diffs is not None:
+            if not isinstance(diffs, list):
+                raise ValueError("pdf: /Differences is not an array")
+            code: Optional[int] = None
+            for item in diffs:
+                if isinstance(item, int):
+                    code = item
+                elif isinstance(item, Name):
+                    if code is None or not (0 <= code <= 255):
+                        raise ValueError("pdf: /Differences code bad")
+                    table[code] = _glyph_to_unicode(str(item))
+                    code += 1
+                else:
+                    raise ValueError("pdf: /Differences item bad")
+        return (1, table)
 
 
 # ---------------------------------------------------------------------------
@@ -1544,6 +1652,7 @@ def encode_pdf(
     xref_stream: bool = False,
     cid_font: bool = False,
     stream_filter: Optional[str] = None,
+    simple_encoding: Optional[str] = None,
 ) -> bytes:
     """Write a PDF carrying the given positioned spans.
 
@@ -1566,22 +1675,23 @@ def encode_pdf(
     streams' filter chain (None raw, ``flate``, ``lzw``, ``a85flate`` =
     [/ASCII85Decode /FlateDecode], ``ahxlzw`` = [/ASCIIHexDecode
     /LZWDecode]); it overrides the legacy ``compress`` flag.
+    ``simple_encoding="differences"`` (ignored when ``cid_font`` is
+    set) writes the LEGACY text path: a simple font whose /Encoding
+    dict remaps every used byte code through a /Differences array of
+    uniXXXX / uXXXXX glyph names — show strings become 1-byte codes
+    only the encoding table can decode (≤255 distinct chars per doc,
+    else ValueError).
     """
     rng = random.Random(seed)
     objs: Dict[int, bytes] = {}
     stream_nums = set()  # objects that ARE streams (not ObjStm-packable)
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     codes: Dict[str, int] = {}
+    byte_codes: Dict[str, int] = {}
+    alphabet = sorted(
+        {ch for page in pages for sp in page if sp[0] == "text" for ch in sp[4]}
+    )
     if cid_font:
-        alphabet = sorted(
-            {
-                ch
-                for page in pages
-                for sp in page
-                if sp[0] == "text"
-                for ch in sp[4]
-            }
-        )
         codes = {ch: i + 1 for i, ch in enumerate(alphabet)}
         if len(codes) > 0xFFFF:
             raise ValueError("pdf: synth CID alphabet exceeds 2-byte codes")
@@ -1594,6 +1704,24 @@ def encode_pdf(
             b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
         )
         stream_nums.add(5)
+    elif simple_encoding == "differences":
+        if len(alphabet) > 255:
+            raise ValueError("pdf: synth /Differences alphabet exceeds 255")
+        byte_codes = {ch: i + 1 for i, ch in enumerate(alphabet)}
+        names = []
+        for ch in alphabet:
+            cp = ord(ch)
+            if cp <= 0xFFFF:
+                names.append(b"/uni%04X" % cp)
+            else:  # astral: the uXXXXX[X] convention
+                names.append(b"/u%05X" % cp if cp <= 0xFFFFF else b"/u%06X" % cp)
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [1 %s] >> >>" % b" ".join(names)
+        )
+    elif simple_encoding is not None:
+        raise ValueError(f"pdf: unknown simple_encoding {simple_encoding!r}")
     else:
         objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     img_num = 4
@@ -1629,6 +1757,8 @@ def encode_pdf(
                 raw = b"".join(
                     codes[ch].to_bytes(2, "big") for ch in payload
                 )
+            elif byte_codes:
+                raw = bytes(byte_codes[ch] for ch in payload)
             else:
                 raw = _text_bytes(payload)
             body = bytearray(b"BT /F1 %s Tf " % _fmt_num(size))

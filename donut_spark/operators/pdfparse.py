@@ -118,12 +118,16 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     filter chain (raw / FlateDecode / LZWDecode / [ASCII85+Flate] /
     [ASCIIHex+LZW]), ``num % 3 == 2`` docs get the PDF 1.5 file shape
     (object stream + Predictor-12 xref stream) instead of the classic
-    1.4 table, and ``num % 5 == 3`` docs swap the Type1 font for a
+    1.4 table, ``num % 5 == 3`` docs swap the Type1 font for a
     Type0/Identity-H font with a /ToUnicode CMap (show strings become
-    2-byte glyph codes only the CMap can decode) — every
-    cross-reference, filter and text-encoding shape real generators
-    emit flows through the same parse, and decoy BI…ID…EI inline
-    images are sprinkled between operators. Emission order inside each page
+    2-byte glyph codes only the CMap can decode), and ``num % 11 == 7``
+    docs take the LEGACY text path instead — a simple font whose
+    /Encoding /Differences array remaps every used byte code through
+    uniXXXX glyph names (falling back deterministically when a doc's
+    alphabet exceeds one byte) — every cross-reference, filter and
+    text-encoding shape real generators emit flows through the same
+    parse, and decoy BI…ID…EI inline images are sprinkled between
+    operators. Emission order inside each page
     is seed-shuffled so a parser that trusts stream order FAILS the
     oracle. Deterministic in doc_id alone — stable across partition
     layouts and cluster sizes.
@@ -140,8 +144,7 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
             for doc_id, expected in zip(pdf["doc_id"], pdf["expected"]):
                 num = int(doc_id)
                 pages = doc_layout_pages(num, list(expected))
-                content = encode_pdf(
-                    pages,
+                kw = dict(
                     seed=num * 7919 + 13,
                     variant=num % 4,
                     xref_stream=(num % 3 == 2),
@@ -156,6 +159,15 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                         "ahxlzw",
                     )[num % 7],
                 )
+                if num % 11 == 7 and not kw["cid_font"]:
+                    kw["simple_encoding"] = "differences"
+                try:
+                    content = encode_pdf(pages, **kw)
+                except ValueError:
+                    # >255 distinct chars: deterministic fallback to
+                    # the text-string path for this doc
+                    kw.pop("simple_encoding", None)
+                    content = encode_pdf(pages, **kw)
                 rows.append((doc_id, content))
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
 

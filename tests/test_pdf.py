@@ -565,6 +565,73 @@ def test_cid_ragged_show_string_is_poison():
     assert spans[0][4] == "�"
 
 
+@pytest.mark.parametrize("variant", [0, 1, 2, 3])
+def test_simple_font_differences_roundtrip(variant):
+    """The LEGACY text path: /Encoding /Differences remaps every used
+    byte code through uniXXXX / uXXXXX glyph names — show strings are
+    1-byte codes only the encoding table can decode, incl. astral
+    chars."""
+    data = encode_pdf(
+        PAGES,
+        seed=variant + 3,
+        variant=variant,
+        simple_encoding="differences",
+        stream_filter="flate" if variant % 2 else None,
+    )
+    assert parse_pdf_spans(data) == PAGES
+    # without the table the 1-byte codes decode to different text
+    doc = PdfDocument(data)
+    page = doc.pages()[0]
+    raw = extract_page_spans(
+        doc.page_content(page), doc.page_xobjects(page), fonts=None
+    )
+    assert {s[4] for s in raw if s[0] == "text"} != {
+        s[4] for s in PAGES[0] if s[0] == "text"
+    }
+
+
+def test_glyph_name_resolution_and_base_encodings():
+    from donut_spark.core.pdf import (
+        _codec_table,
+        _glyph_to_unicode,
+    )
+
+    assert _glyph_to_unicode("uni0041") == "A"
+    assert _glyph_to_unicode("uni00410042") == "AB"  # multi-unit form
+    assert _glyph_to_unicode("u1F680") == "🚀"
+    assert _glyph_to_unicode("uD800") == "�"  # surrogate cp is invalid
+    assert _glyph_to_unicode("adieresis") == "�"  # outside ASCII subset
+    assert _glyph_to_unicode("ampersand") == "&"
+    assert _glyph_to_unicode("Q") == "Q"
+    # WinAnsi: the cp1252 80-9F block differs from latin-1
+    win = _codec_table("cp1252")
+    assert win[0x93] == "“" and 0x81 not in win
+    mac = _codec_table("mac_roman")
+    assert mac[0x8A] == "ä"
+
+
+def test_simple_font_base_encoding_name(tmp_path):
+    """A bare /Encoding /WinAnsiEncoding name (no Differences): bytes
+    decode through cp1252 — 0x93 is a curly quote, not latin-1 \\x93."""
+    from donut_spark.core.pdf import Name, PdfDocument
+
+    base = encode_pdf([[("text", 72.0, 700.0, 10.0, "x")]], variant=0)
+    doc = PdfDocument(base)
+    page = doc.pages()[0]
+    font = doc.resolve(doc.resolve(page["Resources"])["Font"]["F1"])
+    font["Encoding"] = Name("WinAnsiEncoding")
+    fonts = doc.page_fonts(page)
+    assert fonts["F1"] is not None
+    spans = extract_page_spans(
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm <93> Tj ET", fonts=fonts
+    )
+    assert spans[0][4] == "“"
+    # an un-tableable encoding (Identity-H w/o ToUnicode) falls back to
+    # the text-string decode instead of poisoning the document
+    font["Encoding"] = Name("Identity-H")
+    assert doc.page_fonts(page)["F1"] is None
+
+
 def test_resources_inherited_from_pages_node():
     """/Resources hoisted onto the /Pages node (an inheritable
     attribute real generators rely on) must still resolve the page's
@@ -703,6 +770,8 @@ def test_fuzz_roundtrip(data):
     stream_filter = data.draw(
         st.sampled_from([None, "flate", "lzw", "a85flate", "ahxlzw"])
     )
+    # ≤192 distinct chars by construction, so "differences" always fits
+    simple_encoding = data.draw(st.sampled_from([None, "differences"]))
     texts = data.draw(
         st.lists(
             st.text(
@@ -743,6 +812,7 @@ def test_fuzz_roundtrip(data):
             xref_stream=xref_stream,
             cid_font=cid_font,
             stream_filter=stream_filter,
+            simple_encoding=simple_encoding,
         )
     )
     assert out == pages
