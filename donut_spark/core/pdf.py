@@ -18,8 +18,9 @@ Scope (documented, quarantine-guarded like the other codecs):
   three cross-reference shapes real generators emit;
 * object streams (``/Type /ObjStm``) for compressed objects;
 * filters ``/FlateDecode`` (stdlib zlib), ``/LZWDecode`` (own 9→12-bit
-  MSB decoder, EarlyChange + clear codes), ``/ASCIIHexDecode`` and
-  ``/ASCII85Decode`` (incl. ``z`` shorthand and partial final groups),
+  MSB decoder, EarlyChange + clear codes), ``/RunLengthDecode``,
+  ``/ASCIIHexDecode`` and ``/ASCII85Decode`` (incl. ``z`` shorthand
+  and partial final groups),
   chained in ``/Filter`` arrays, each with ``/DecodeParms`` PNG
   predictors 10-15 (the encoding every real xref stream uses); TIFF
   predictor 2 and any other filter raise;
@@ -597,6 +598,67 @@ def _ascii85_encode(data: bytes) -> bytes:
     return bytes(out) + b"~>"
 
 
+def _runlength_decode(data: bytes) -> bytes:
+    """PDF /RunLengthDecode (ISO 32000-1 §7.4.5): a length byte 0..127
+    copies the next ``length+1`` bytes literally, 129..255 repeats the
+    next byte ``257-length`` times, 128 is EOD. Output is capped like
+    flate (bomb guard)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            run = data[i + 1 : i + 2 + ln]
+            if len(run) != ln + 1:
+                raise ValueError("pdf: truncated RunLength literal run")
+            out += run
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise ValueError("pdf: truncated RunLength repeat run")
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+        if len(out) > MAX_STREAM_BYTES:
+            raise ValueError("pdf: stream exceeds decompression cap")
+    raise ValueError("pdf: RunLength stream missing EOD")
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    """Encoder twin of :func:`_runlength_decode` (synth writer +
+    tests): greedy — runs of ≥3 equal bytes become repeat records,
+    everything else literal records of ≤128 bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literals(end: int) -> None:
+        nonlocal lit_start
+        j = lit_start
+        while j < end:
+            k = min(end, j + 128)
+            out.append(k - j - 1)
+            out.extend(data[j:k])
+            j = k
+        lit_start = end
+
+    while i < n:
+        j = i
+        while j < n and data[j] == data[i] and j - i < 128:
+            j += 1
+        if j - i >= 3:
+            flush_literals(i)
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = lit_start = j
+        else:
+            i = j
+    flush_literals(n)
+    out.append(128)
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # ToUnicode CMaps
 # ---------------------------------------------------------------------------
@@ -1086,6 +1148,8 @@ class PdfDocument:
                         raise ValueError("pdf: bad LZW EarlyChange")
                 data = _lzw_decode(data, early)
                 data = _apply_predictor(data, p, self.resolve)
+            elif f == Name("RunLengthDecode") or f == Name("RL"):
+                data = _runlength_decode(data)
             elif f == Name("ASCIIHexDecode") or f == Name("AHx"):
                 data = _asciihex_decode(data)
             elif f == Name("ASCII85Decode") or f == Name("A85"):
@@ -1618,6 +1682,11 @@ def _encode_stream_obj(data: bytes, mode: Optional[str]) -> bytes:
     elif mode == "ahxlzw":
         body = _asciihex_encode(_lzw_encode(data))
         filt = b" /Filter [/ASCIIHexDecode /LZWDecode]"
+    elif mode == "rl":
+        body, filt = _runlength_encode(data), b" /Filter /RunLengthDecode"
+    elif mode == "a85rl":
+        body = _ascii85_encode(_runlength_encode(data))
+        filt = b" /Filter [/ASCII85Decode /RunLengthDecode]"
     else:
         raise ValueError(f"pdf: unknown stream filter mode {mode!r}")
     return (
@@ -1672,9 +1741,11 @@ def encode_pdf(
     for a Type0/Identity-H font with a /ToUnicode CMap: show strings
     become 2-byte glyph-code sequences only the CMap can decode — the
     modern embedded-font shape. ``stream_filter`` picks the content
-    streams' filter chain (None raw, ``flate``, ``lzw``, ``a85flate`` =
-    [/ASCII85Decode /FlateDecode], ``ahxlzw`` = [/ASCIIHexDecode
-    /LZWDecode]); it overrides the legacy ``compress`` flag.
+    streams' filter chain (None raw, ``flate``, ``lzw``, ``rl`` =
+    /RunLengthDecode, ``a85flate`` = [/ASCII85Decode /FlateDecode],
+    ``ahxlzw`` = [/ASCIIHexDecode /LZWDecode], ``a85rl`` =
+    [/ASCII85Decode /RunLengthDecode]); it overrides the legacy
+    ``compress`` flag.
     ``simple_encoding="differences"`` (ignored when ``cid_font`` is
     set) writes the LEGACY text path: a simple font whose /Encoding
     dict remaps every used byte code through a /Differences array of

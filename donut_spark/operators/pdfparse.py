@@ -115,8 +115,9 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     written by ``core/pdf.py``'s writer. Encoding variants rotate by
     ``num % 4`` (Tm/Td positioning, TJ kern splits, hex strings, a
     two-stream /Contents array), ``num % 7`` picks the content-stream
-    filter chain (raw / FlateDecode / LZWDecode / [ASCII85+Flate] /
-    [ASCIIHex+LZW]), ``num % 3 == 2`` docs get the PDF 1.5 file shape
+    filter chain (raw / FlateDecode / LZWDecode / RunLengthDecode /
+    [ASCII85+Flate] / [ASCII85+RunLength] / [ASCIIHex+LZW]),
+    ``num % 3 == 2`` docs get the PDF 1.5 file shape
     (object stream + Predictor-12 xref stream) instead of the classic
     1.4 table, ``num % 5 == 3`` docs swap the Type1 font for a
     Type0/Identity-H font with a /ToUnicode CMap (show strings become
@@ -153,9 +154,9 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                         None,
                         "flate",
                         "lzw",
-                        "flate",
+                        "rl",
                         "a85flate",
-                        None,
+                        "a85rl",
                         "ahxlzw",
                     )[num % 7],
                 )

@@ -361,7 +361,7 @@ def test_objstm_poison_guards():
 
 
 @pytest.mark.parametrize(
-    "mode", [None, "flate", "lzw", "a85flate", "ahxlzw"]
+    "mode", [None, "flate", "lzw", "rl", "a85flate", "a85rl", "ahxlzw"]
 )
 def test_stream_filter_chains_roundtrip(mode):
     """Every content-stream filter chain the writer rotates (incl. the
@@ -378,6 +378,8 @@ def test_filter_codecs_unit_and_poison():
         _asciihex_decode,
         _lzw_decode,
         _lzw_encode,
+        _runlength_decode,
+        _runlength_encode,
     )
 
     # classic LZW reference vector (the TIFF/PDF 9-bit example)
@@ -390,7 +392,22 @@ def test_filter_codecs_unit_and_poison():
     assert _ascii85_decode(_ascii85_encode(b"sure.")) == b"sure."
     assert _asciihex_decode(b"48 65 6C 6C 6F>") == b"Hello"
     assert _asciihex_decode(b"486>") == b"H`"  # odd digit pads 0
+    # RunLength: spec semantics by hand, then the encoder twin — a
+    # >128 literal stretch, a >128 repeat run (must split), and mixes
+    assert _runlength_decode(b"\x02abc\xfeX\x80") == b"abcXXX"
+    for payload in [
+        b"",
+        b"abc",
+        b"A" * 300,
+        bytes(range(256)) * 2,
+        b"ab" + b"Q" * 129 + b"cd",
+    ]:
+        assert _runlength_decode(_runlength_encode(payload)) == payload
     for fn, bad in [
+        (_runlength_decode, b"\x05ab"),      # truncated literal run
+        (_runlength_decode, b"\xfe"),        # truncated repeat run
+        (_runlength_decode, b"\x00a"),       # missing EOD
+
         (_ascii85_decode, b"abc"),           # no terminator
         (_ascii85_decode, b"v~>"),           # char out of range
         (_ascii85_decode, b"!z~>"),          # z inside a group
@@ -768,7 +785,9 @@ def test_fuzz_roundtrip(data):
     xref_stream = data.draw(st.booleans())
     cid_font = data.draw(st.booleans())
     stream_filter = data.draw(
-        st.sampled_from([None, "flate", "lzw", "a85flate", "ahxlzw"])
+        st.sampled_from(
+            [None, "flate", "lzw", "rl", "a85flate", "a85rl", "ahxlzw"]
+        )
     )
     # ≤192 distinct chars by construction, so "differences" always fits
     simple_encoding = data.draw(st.sampled_from([None, "differences"]))
