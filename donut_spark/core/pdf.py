@@ -46,9 +46,13 @@ Scope (documented, quarantine-guarded like the other codecs):
 
 The extractor emits one span per show/``Do`` operator with its
 *device-space* origin, in the stream's EMISSION order;
-:func:`reading_order` then recovers human reading order by (page, line
-top-to-bottom, x left-to-right) — PDF y grows upward, and nothing in
-the format requires ops to be emitted in reading order (real generators
+:func:`to_display_space` maps origins through the page's inheritable
+``/Rotate`` + ``/MediaBox`` geometry into the UPRIGHT displayed page
+(rotated pages are common in scanned corpora, and stream coordinates
+on them order bottom-up or sideways), then :func:`reading_order`
+recovers human reading order by (page, line top-to-bottom, x
+left-to-right) — PDF y grows upward, and nothing in the format
+requires ops to be emitted in reading order (real generators
 interleave columns, headers and footers), which is exactly why the
 layout sort is a real step and the synth writer deliberately shuffles
 emission order.
@@ -1166,32 +1170,63 @@ class PdfDocument:
             raise ValueError("pdf: no document catalog")
         out: List[dict] = []
 
-        def walk(node: PdfObj, depth: int, inh_res: PdfObj) -> None:
+        def walk(node: PdfObj, depth: int, inh: dict) -> None:
             node = self.resolve(node)
             if not isinstance(node, dict) or depth > 32:
                 raise ValueError("pdf: bad page tree")
-            # /Resources is an INHERITABLE page-tree attribute (ISO
-            # 32000-1 §7.7.3.4): real generators commonly hoist it onto
-            # the /Pages node and leave it off the leaf pages
-            if "Resources" in node:
-                inh_res = node["Resources"]
+            # /Resources, /MediaBox and /Rotate are INHERITABLE
+            # page-tree attributes (ISO 32000-1 §7.7.3.4, Table 29):
+            # real generators commonly hoist them onto the /Pages node
+            # and leave them off the leaf pages
+            for key in ("Resources", "MediaBox", "Rotate"):
+                if key in node:
+                    inh = {**inh, key: node[key]}
             t = node.get("Type")
             if t == Name("Pages"):
                 kids = self.resolve(node.get("Kids"))
                 if not isinstance(kids, list):
                     raise ValueError("pdf: /Pages without /Kids")
                 for kid in kids:
-                    walk(kid, depth + 1, inh_res)
+                    walk(kid, depth + 1, inh)
             elif t == Name("Page"):
-                if "Resources" not in node and inh_res is not None:
-                    node = dict(node)
-                    node["Resources"] = inh_res
+                missing = {k: v for k, v in inh.items() if k not in node}
+                if missing:
+                    node = {**node, **missing}
                 out.append(node)
             else:
                 raise ValueError("pdf: bad page-tree node type")
 
-        walk(root.get("Pages"), 0, None)
+        walk(root.get("Pages"), 0, {})
         return out
+
+    def page_geometry(self, page: dict) -> Tuple[int, float, float, float, float]:
+        """Normalized ``(rotate, x0, y0, width, height)`` for a page.
+
+        ``/Rotate`` must be an integer multiple of 90 (normalized into
+        0/90/180/270 — negative multiples are legal and appear in the
+        wild); anything else is a poison document. A missing
+        ``/MediaBox`` defaults to US Letter the way real viewers do;
+        a present-but-malformed one raises."""
+        rot = self.resolve(page.get("Rotate", 0))
+        if not isinstance(rot, int) or rot % 90:
+            raise ValueError("pdf: /Rotate must be a multiple of 90")
+        mb = self.resolve(page.get("MediaBox"))
+        if mb is None:
+            vals = [0.0, 0.0, 612.0, 792.0]
+        else:
+            if not isinstance(mb, list) or len(mb) != 4:
+                raise ValueError("pdf: bad /MediaBox")
+            vals = []
+            for v in mb:
+                v = self.resolve(v)
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    raise ValueError("pdf: bad /MediaBox")
+                vals.append(float(v))
+        x0, y0 = min(vals[0], vals[2]), min(vals[1], vals[3])
+        w, h = abs(vals[2] - vals[0]), abs(vals[3] - vals[1])
+        if w <= 0 or h <= 0:
+            raise ValueError("pdf: degenerate /MediaBox")
+        return rot % 360, x0, y0, w, h
 
     def page_content(self, page: dict) -> bytes:
         contents = self.resolve(page.get("Contents"))
@@ -1575,15 +1610,42 @@ def reading_order_columnar(
     return out
 
 
+def to_display_space(
+    spans: List[Span], rotate: int, x0: float, y0: float, w: float, h: float
+) -> List[Span]:
+    """Map user-space span origins to UPRIGHT display space — the page
+    as a viewer shows it after the clockwise ``/Rotate``, origin at the
+    displayed bottom-left, y growing upward. Reading order is a
+    statement about what a READER sees, so the layout sort must run on
+    display coordinates: raw stream coordinates on a rotated page would
+    order bottom-up (180) or right-to-left column-wise (90/270)."""
+    if rotate == 0 and x0 == 0.0 and y0 == 0.0:
+        return spans
+    out: List[Span] = []
+    for kind, x, y, size, payload in spans:
+        x, y = x - x0, y - y0
+        if rotate == 90:
+            x, y = y, w - x
+        elif rotate == 180:
+            x, y = w - x, h - y
+        elif rotate == 270:
+            x, y = h - y, x
+        out.append((kind, x, y, size, payload))
+    return out
+
+
 def parse_pdf_spans(data: bytes) -> List[List[Span]]:
     """bytes → per-page spans in READING order (the public entrypoint)."""
     doc = PdfDocument(data)
     return [
         reading_order(
-            extract_page_spans(
-                doc.page_content(p),
-                doc.page_xobjects(p),
-                doc.page_fonts(p),
+            to_display_space(
+                extract_page_spans(
+                    doc.page_content(p),
+                    doc.page_xobjects(p),
+                    doc.page_fonts(p),
+                ),
+                *doc.page_geometry(p),
             )
         )
         for p in doc.pages()
@@ -1722,6 +1784,7 @@ def encode_pdf(
     cid_font: bool = False,
     stream_filter: Optional[str] = None,
     simple_encoding: Optional[str] = None,
+    rotate: int = 0,
 ) -> bytes:
     """Write a PDF carrying the given positioned spans.
 
@@ -1751,9 +1814,38 @@ def encode_pdf(
     dict remaps every used byte code through a /Differences array of
     uniXXXX / uXXXXX glyph names — show strings become 1-byte codes
     only the encoding table can decode (≤255 distinct chars per doc,
-    else ValueError).
+    else ValueError). ``rotate`` (0/90/180/270) writes a ROTATED page:
+    landscape /MediaBox for 90/270, content pre-rotated in user space
+    (counter-clockwise text/image matrices on the Tm path) so that the
+    clockwise viewer ``/Rotate`` displays the given span layout upright
+    — the parser must un-rotate into display space or its reading
+    order comes out bottom-up / column-sideways. Odd seeds HOIST
+    /Rotate and /MediaBox onto the /Pages node (the inheritable form),
+    even seeds write them per-page.
     """
     rng = random.Random(seed)
+    if rotate not in (0, 90, 180, 270):
+        raise ValueError("pdf: synth rotate must be 0/90/180/270")
+    mb_w, mb_h = (612.0, 792.0) if rotate in (0, 180) else (792.0, 612.0)
+
+    def place(x: float, y: float) -> Tuple[float, float]:
+        # inverse of the display transform: grid (X, Y) → user space
+        if rotate == 90:
+            return mb_w - y, x
+        if rotate == 180:
+            return mb_w - x, mb_h - y
+        if rotate == 270:
+            return y, mb_h - x
+        return x, y
+
+    # counter-clockwise rotation coefficients for Tm / cm so the
+    # viewer's clockwise /Rotate shows the glyphs upright
+    rot_coef = {
+        0: b"1 0 0 1",
+        90: b"0 1 -1 0",
+        180: b"-1 0 0 -1",
+        270: b"0 -1 1 0",
+    }[rotate]
     objs: Dict[int, bytes] = {}
     stream_nums = set()  # objects that ARE streams (not ObjStm-packable)
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
@@ -1816,12 +1908,13 @@ def encode_pdf(
         media_names: List[str] = []
         for si in order:
             kind, x, y, size, payload = spans[si]
+            x, y = place(x, y)
             if kind == "media":
                 media_names.append(payload)
                 name = payload.encode("latin-1")
                 chunks.append(
-                    b"q 1 0 0 1 %s %s cm /%s Do Q\n"
-                    % (_fmt_num(x), _fmt_num(y), name)
+                    b"q %s %s %s cm /%s Do Q\n"
+                    % (rot_coef, _fmt_num(x), _fmt_num(y), name)
                 )
                 continue
             if cid_font:
@@ -1840,7 +1933,7 @@ def encode_pdf(
                     _fmt_num(y + 11),
                 )
             else:
-                body += b"1 0 0 1 %s %s Tm " % (_fmt_num(x), _fmt_num(y))
+                body += b"%s %s %s Tm " % (rot_coef, _fmt_num(x), _fmt_num(y))
             if variant % 4 == 2 and len(raw) >= 2:
                 cut = len(raw) // 2
                 body += b"[(%s) -12 (%s)] TJ" % (
@@ -1882,16 +1975,26 @@ def encode_pdf(
             res += b" /XObject << %s >>" % xo
         pnum = next_num
         next_num += 1
+        hoist = rotate != 0 and seed % 2 == 1
+        geom = b"/MediaBox [0 0 %s %s]" % (_fmt_num(mb_w), _fmt_num(mb_h))
+        if rotate:
+            geom += b" /Rotate %d" % rotate
         objs[pnum] = (
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << %s >> /Contents %s >>" % (res, contents)
+            b"<< /Type /Page /Parent 2 0 R %s"
+            b"/Resources << %s >> /Contents %s >>"
+            % (b"" if hoist else geom + b" ", res, contents)
         )
         page_nums.append(pnum)
 
     kids = b" ".join(b"%d 0 R" % pn for pn in page_nums)
-    objs[2] = b"<< /Type /Pages /Count %d /Kids [%s] >>" % (
+    hoist = rotate != 0 and seed % 2 == 1
+    objs[2] = b"<< /Type /Pages /Count %d /Kids [%s]%s >>" % (
         len(page_nums),
         kids,
+        b" /MediaBox [0 0 %s %s] /Rotate %d"
+        % (_fmt_num(mb_w), _fmt_num(mb_h), rotate)
+        if hoist
+        else b"",
     )
 
     if not xref_stream:

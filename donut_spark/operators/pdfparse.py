@@ -125,10 +125,14 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     docs take the LEGACY text path instead — a simple font whose
     /Encoding /Differences array remaps every used byte code through
     uniXXXX glyph names (falling back deterministically when a doc's
-    alphabet exceeds one byte) — every cross-reference, filter and
-    text-encoding shape real generators emit flows through the same
-    parse, and decoy BI…ID…EI inline images are sprinkled between
-    operators. Emission order inside each page
+    alphabet exceeds one byte), and ``num % 13`` ∈ {10, 11, 12} docs
+    are ROTATED pages (/Rotate 90/180/270 with landscape /MediaBox,
+    hoisted onto the /Pages node for odd seeds) whose content is
+    pre-rotated in user space — reading order only comes out right
+    through the display-space transform — every cross-reference,
+    filter, text-encoding and page-geometry shape real generators emit
+    flows through the same parse, and decoy BI…ID…EI inline images are
+    sprinkled between operators. Emission order inside each page
     is seed-shuffled so a parser that trusts stream order FAILS the
     oracle. Deterministic in doc_id alone — stable across partition
     layouts and cluster sizes.
@@ -148,6 +152,7 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                 kw = dict(
                     seed=num * 7919 + 13,
                     variant=num % 4,
+                    rotate={10: 90, 11: 180, 12: 270}.get(num % 13, 0),
                     xref_stream=(num % 3 == 2),
                     cid_font=(num % 5 == 3),
                     stream_filter=(

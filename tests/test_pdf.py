@@ -51,6 +51,58 @@ def test_roundtrip_all_variants(variant, compress, xref_stream):
     assert parse_pdf_spans(data) == PAGES
 
 
+@pytest.mark.parametrize("rotate", [90, 180, 270])
+@pytest.mark.parametrize("variant", [0, 1, 2])
+@pytest.mark.parametrize("seed", [4, 7])  # even: per-page attrs; odd: hoisted
+def test_rotated_page_roundtrip(rotate, variant, seed):
+    """/Rotate pages: content is pre-rotated in user space, so reading
+    order is only recovered through the display-space transform — raw
+    stream coordinates would order bottom-up (180) or sideways
+    (90/270). Odd seeds hoist /Rotate + /MediaBox onto the /Pages node
+    (the inheritable form, like /Resources)."""
+    data = encode_pdf(PAGES, seed=seed, variant=variant, rotate=rotate)
+    assert parse_pdf_spans(data) == PAGES
+    # the rotation must actually be in play: parsing WITHOUT the
+    # display transform must NOT give reading order
+    doc = PdfDocument(data)
+    page0 = doc.pages()[0]
+    raw = reading_order(
+        extract_page_spans(
+            doc.page_content(page0), doc.page_xobjects(page0),
+            doc.page_fonts(page0),
+        )
+    )
+    assert raw != PAGES[0]
+    rot, x0, y0, w, h = doc.page_geometry(page0)
+    assert rot == rotate and (w, h) == (
+        (612.0, 792.0) if rotate == 180 else (792.0, 612.0)
+    )
+
+
+def test_rotate_normalization_and_poison():
+    """Negative /Rotate multiples normalize (-90 ≡ 270); a non-multiple
+    of 90 is a poison document; /MediaBox defaults to US Letter when
+    absent."""
+    data = encode_pdf(PAGES, seed=4, variant=0, rotate=270)
+    # same byte length, so xref offsets stay valid
+    neg = data.replace(b"/Rotate 270", b"/Rotate -90")
+    assert neg != data
+    assert parse_pdf_spans(neg) == PAGES
+    bad = data.replace(b"/Rotate 270", b"/Rotate 271")
+    with pytest.raises(ValueError, match="multiple of 90"):
+        parse_pdf_spans(bad)
+    plain = encode_pdf(PAGES, seed=4, variant=0)
+    doc = PdfDocument(plain)
+    nobox = dict(doc.pages()[0])
+    del nobox["MediaBox"]
+    assert doc.page_geometry(nobox) == (0, 0.0, 0.0, 612.0, 792.0)
+    nobox["MediaBox"] = [0, 0, 612]
+    with pytest.raises(ValueError, match="MediaBox"):
+        doc.page_geometry(nobox)
+    with pytest.raises(ValueError, match="rotate"):
+        encode_pdf(PAGES, rotate=45)
+
+
 def test_emission_order_is_shuffled_but_reading_order_recovered():
     """The writer's stream order must NOT be reading order (otherwise
     the layout sort is decorative), yet parse_pdf_spans recovers it."""
@@ -791,6 +843,7 @@ def test_fuzz_roundtrip(data):
     )
     # ≤192 distinct chars by construction, so "differences" always fits
     simple_encoding = data.draw(st.sampled_from([None, "differences"]))
+    rotate = data.draw(st.sampled_from([0, 90, 180, 270]))
     texts = data.draw(
         st.lists(
             st.text(
@@ -832,6 +885,7 @@ def test_fuzz_roundtrip(data):
             cid_font=cid_font,
             stream_filter=stream_filter,
             simple_encoding=simple_encoding,
+            rotate=rotate,
         )
     )
     assert out == pages
