@@ -28,8 +28,9 @@ Scope (documented, quarantine-guarded like the other codecs):
   sample bytes containing 'EI' can't mis-cut the stream) — decorative,
   never content spans; filtered inline images raise;
 * encrypted documents (``/Encrypt`` in the trailer) raise;
-* text strings in PDFDocEncoding (latin-1 range) or BOM-marked
-  UTF-16BE — both spec-conformant "text string" encodings — and, when
+* text strings in PDFDocEncoding (latin-1 range), BOM-marked UTF-16BE,
+  or BOM-marked UTF-8 (PDF 2.0, ISO 32000-2 §7.9.2.2) — the three
+  spec-conformant "text string" encodings — and, when
   the active font carries a ``/ToUnicode`` CMap (the modern embedded-
   font path: Type0/Identity-H with 2-byte glyph codes, or simple fonts
   with 1-byte codes), show-string bytes are decoded through the CMap
@@ -1358,10 +1359,13 @@ _IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
 def _decode_text(raw: bytes) -> str:
-    """PDF text string: BOM-marked UTF-16BE, else PDFDocEncoding (the
-    latin-1 range is byte-identical for our subset)."""
+    """PDF text string: BOM-marked UTF-16BE, BOM-marked UTF-8 (added by
+    PDF 2.0, ISO 32000-2 §7.9.2.2), else PDFDocEncoding (the latin-1
+    range is byte-identical for our subset)."""
     if raw.startswith(b"\xfe\xff"):
         return raw[2:].decode("utf-16-be")
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return raw[3:].decode("utf-8")
     return raw.decode("latin-1")
 
 
@@ -1681,6 +1685,11 @@ def _text_bytes(text: str) -> bytes:
     try:
         return text.encode("latin-1")
     except UnicodeEncodeError:
+        # split non-latin1 strings between the two BOM-marked forms
+        # (deterministic in the text alone) so both decode paths are
+        # exercised end to end
+        if zlib.crc32(text.encode("utf-8")) & 1:
+            return b"\xef\xbb\xbf" + text.encode("utf-8")
         return b"\xfe\xff" + text.encode("utf-16-be")
 
 

@@ -79,6 +79,23 @@ def test_rotated_page_roundtrip(rotate, variant, seed):
     )
 
 
+def test_utf8_bom_text_strings_roundtrip():
+    """PDF 2.0 text strings: the writer splits non-latin1 strings
+    between BOM-marked UTF-16BE and BOM-marked UTF-8 (by crc parity),
+    and the parser decodes both; pin one of each form."""
+    texts = ["Ωmega", "Δelta", "λambda", "日本語テスト", "Ψi"]
+    from donut_spark.core.pdf import _text_bytes
+
+    forms = {_text_bytes(t)[:3] for t in texts}
+    assert b"\xef\xbb\xbf" in forms  # UTF-8 BOM in play
+    assert any(f.startswith(b"\xfe\xff") for f in forms)  # UTF-16 too
+    pages = [
+        [("text", 72.0, 720.0 - 36 * i, 10.0, t) for i, t in enumerate(texts)]
+    ]
+    data = encode_pdf(pages, seed=3, variant=0)
+    assert parse_pdf_spans(data) == pages
+
+
 def test_rotate_normalization_and_poison():
     """Negative /Rotate multiples normalize (-90 ≡ 270); a non-multiple
     of 90 is a poison document; /MediaBox defaults to US Letter when
