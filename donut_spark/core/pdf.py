@@ -27,7 +27,15 @@ Scope (documented, quarantine-guarded like the other codecs):
 * inline images (``BI…ID…EI``) skipped by COMPUTED sample length (so
   sample bytes containing 'EI' can't mis-cut the stream) — decorative,
   never content spans; filtered inline images raise;
-* encrypted documents (``/Encrypt`` in the trailer) raise;
+* encrypted documents under the STANDARD security handler with an
+  EMPTY user password (the ubiquitous real-world case: the owner
+  password only restricts printing/editing) are decrypted — RC4
+  (V1/V2, R2/R3), crypt-filter V4/R4 with ``/CFM`` ``/V2`` (RC4),
+  ``/AESV2`` (AES-128-CBC) or ``/Identity``, and the modern
+  V5/R6 AES-256 shape (ISO 32000-2 §7.6.4, SHA-2 hardened
+  Algorithm 2.B) — key algorithms + both ciphers implemented from
+  scratch in ``core/pdfcrypt.py``; non-empty user passwords, other
+  handlers and other revisions raise (poison row);
 * text strings in PDFDocEncoding (latin-1 range), BOM-marked UTF-16BE,
   or BOM-marked UTF-8 (PDF 2.0, ISO 32000-2 §7.9.2.2) — the three
   spec-conformant "text string" encodings — and, when
@@ -66,6 +74,20 @@ import re
 import zlib
 from typing import Dict, List, Optional, Tuple, Union
 
+from .pdfcrypt import (
+    aes_cbc_decrypt,
+    aes_cbc_encrypt,
+    aes_cbc_nopad_encrypt,
+    aes_encrypt_block,
+    hash_2b,
+    r6_file_key,
+    r6_verify_user,
+    rc4,
+    std_compute_o,
+    std_compute_u,
+    std_file_key,
+    std_object_key,
+)
 from .png import _paeth
 
 PDF_HEADER = b"%PDF-1."
@@ -837,6 +859,149 @@ def _codec_table(codec: str) -> Dict[int, str]:
 # ---------------------------------------------------------------------------
 
 
+class _StdDecryptor:
+    """Standard-security-handler decryption state (ISO 32000 §7.6).
+
+    Built AFTER the cross-reference loads and BEFORE any content object
+    is touched; only the empty user password is supported (the
+    universal encrypted-but-readable corpus case) — anything else is a
+    poison document. Strings in the /Encrypt dictionary itself, the
+    cross-reference stream, and objects INSIDE object streams are never
+    decrypted individually, per spec (the ObjStm container stream
+    already was)."""
+
+    def __init__(self, doc: "PdfDocument"):
+        ref = doc.trailer["Encrypt"]
+        self.exclude_num = ref.num if isinstance(ref, Ref) else -1
+        enc = doc.resolve(ref)
+        if not isinstance(enc, dict):
+            raise ValueError("pdf: /Encrypt is not a dictionary")
+        if enc.get("Filter") != Name("Standard"):
+            raise ValueError(
+                f"pdf: security handler {enc.get('Filter')!r} unsupported"
+            )
+        v = doc.resolve(enc.get("V", 0))
+        r = doc.resolve(enc.get("R"))
+        o, u = doc.resolve(enc.get("O")), doc.resolve(enc.get("U"))
+        p = doc.resolve(enc.get("P"))
+        if not (isinstance(o, bytes) and isinstance(u, bytes)):
+            raise ValueError("pdf: /Encrypt /O or /U missing")
+        if not isinstance(p, int):
+            raise ValueError("pdf: /Encrypt /P missing")
+        # mode ∈ identity | rc4 | aes (per-object AES-128) | aes256
+        if v in (1, 2):
+            if r not in (2, 3):
+                raise ValueError(f"pdf: encryption V{v}/R{r} unsupported")
+            n = 5 if v == 1 else self._key_bytes(doc.resolve(enc.get("Length", 40)))
+            self.key = std_file_key(b"", o, p, self._id0(doc), r, n)
+            self._check_legacy_password(doc, u, r)
+            self.stm_mode = self.str_mode = "rc4"
+        elif v == 4:
+            if r != 4:
+                raise ValueError(f"pdf: encryption V4/R{r} unsupported")
+            n = self._key_bytes(doc.resolve(enc.get("Length", 128)))
+            meta = doc.resolve(enc.get("EncryptMetadata", True))
+            self.key = std_file_key(
+                b"", o, p, self._id0(doc), r, n, encrypt_metadata=bool(meta)
+            )
+            self._check_legacy_password(doc, u, r)
+            cf = doc.resolve(enc.get("CF", {}))
+            self.stm_mode = self._cf_mode(doc, cf, enc.get("StmF"))
+            self.str_mode = self._cf_mode(doc, cf, enc.get("StrF"))
+        elif v == 5:
+            if r != 6:
+                raise ValueError(f"pdf: encryption V5/R{r} unsupported")
+            ue = doc.resolve(enc.get("UE"))
+            if not isinstance(ue, bytes):
+                raise ValueError("pdf: /Encrypt /UE missing")
+            if not r6_verify_user(b"", u):
+                raise ValueError(
+                    "pdf: password-protected document (non-empty user password)"
+                )
+            self.key = r6_file_key(b"", u, ue)
+            cf = doc.resolve(enc.get("CF", {}))
+            self.stm_mode = self._cf_mode(doc, cf, enc.get("StmF"))
+            self.str_mode = self._cf_mode(doc, cf, enc.get("StrF"))
+        else:
+            raise ValueError(f"pdf: encryption V{v} unsupported")
+
+    @staticmethod
+    def _key_bytes(length) -> int:
+        if not isinstance(length, int) or length % 8 or not 40 <= length <= 128:
+            raise ValueError("pdf: bad /Encrypt /Length")
+        return length // 8
+
+    @staticmethod
+    def _id0(doc: "PdfDocument") -> bytes:
+        fid = doc.resolve(doc.trailer.get("ID"))
+        if (
+            not isinstance(fid, list)
+            or not fid
+            or not isinstance(doc.resolve(fid[0]), bytes)
+        ):
+            raise ValueError("pdf: encrypted document without /ID")
+        return doc.resolve(fid[0])
+
+    def _check_legacy_password(
+        self, doc: "PdfDocument", u: bytes, r: int
+    ) -> None:
+        expect = std_compute_u(self.key, self._id0(doc), r)
+        cmp_len = 32 if r == 2 else 16
+        if u[:cmp_len] != expect[:cmp_len]:
+            raise ValueError(
+                "pdf: password-protected document (non-empty user password)"
+            )
+
+    def _cf_mode(self, doc: "PdfDocument", cf, which) -> str:
+        """Resolve a /StmF or /StrF crypt-filter name to a cipher mode.
+        Absent names default to /Identity per ISO 32000-1 Table 20."""
+        name = doc.resolve(which)
+        if name is None or name == Name("Identity"):
+            return "identity"
+        if not isinstance(cf, dict) or str(name) not in cf:
+            raise ValueError(f"pdf: crypt filter /{name} undefined")
+        entry = doc.resolve(cf[str(name)])
+        cfm = doc.resolve(entry.get("CFM")) if isinstance(entry, dict) else None
+        if cfm == Name("V2"):
+            return "rc4"
+        if cfm == Name("AESV2"):
+            return "aes"
+        if cfm == Name("AESV3"):
+            if len(self.key) != 32:
+                raise ValueError("pdf: /AESV3 requires a 256-bit key")
+            return "aes256"
+        if cfm == Name("Identity"):
+            return "identity"
+        raise ValueError(f"pdf: crypt filter method {cfm!r} unsupported")
+
+    def _apply(self, mode: str, num: int, gen: int, data: bytes) -> bytes:
+        if mode == "identity" or not data:
+            return data
+        if mode == "rc4":
+            return rc4(std_object_key(self.key, num, gen, aes=False), data)
+        if mode == "aes":
+            return aes_cbc_decrypt(
+                std_object_key(self.key, num, gen, aes=True), data
+            )
+        return aes_cbc_decrypt(self.key, data)  # aes256: file key directly
+
+    def decrypt_object(self, num: int, gen: int, val: PdfObj) -> PdfObj:
+        """Recursively decrypt the strings (and stream raw bytes) of a
+        directly-stored indirect object."""
+        if isinstance(val, bytes):
+            return self._apply(self.str_mode, num, gen, val)
+        if isinstance(val, list):
+            return [self.decrypt_object(num, gen, x) for x in val]
+        if isinstance(val, Stream):
+            return Stream(
+                self.decrypt_object(num, gen, val.d),
+                self._apply(self.stm_mode, num, gen, val.raw),
+            )
+        if isinstance(val, dict):
+            return {k: self.decrypt_object(num, gen, v) for k, v in val.items()}
+        return val
+
+
 class PdfDocument:
     """Random-access reader over classic-xref PDF bytes."""
 
@@ -856,9 +1021,14 @@ class PdfDocument:
         # blow the stack with RecursionError past the operator's catch
         self._loading: set = set()
         self.trailer: dict = {}
+        # decryption state is built AFTER the xref loads; everything
+        # resolved during _load_xref / _StdDecryptor construction
+        # (the xref streams, the /Encrypt dict itself) is spec-exempt
+        # from decryption, which this ordering gives for free
+        self._dec: Optional[_StdDecryptor] = None
         self._load_xref()
         if "Encrypt" in self.trailer:
-            raise ValueError("pdf: encrypted documents unsupported")
+            self._dec = _StdDecryptor(self)
 
     # -- xref ---------------------------------------------------------------
 
@@ -1069,6 +1239,11 @@ class PdfDocument:
                 lx.i = save
         finally:
             self._loading.discard(ref.num)
+        # strings/streams of directly-stored objects are encrypted with
+        # the object's own (num, gen) key; the /Encrypt dict itself is
+        # exempt (its /O //U strings are key material, not ciphertext)
+        if self._dec is not None and ref.num != self._dec.exclude_num:
+            val = self._dec.decrypt_object(ref.num, gen, val)
         self._cache[ref.num] = val
         return val
 
@@ -1739,8 +1914,115 @@ _IMG_SAMPLES = bytes(
 )
 
 
-def _encode_stream_obj(data: bytes, mode: Optional[str]) -> bytes:
-    """Content-stream object with the given filter chain applied."""
+class _PdfEncryptor:
+    """Writer-side standard-security-handler state (the synth twin of
+    :class:`_StdDecryptor`): empty user AND owner passwords, all
+    permissions. Deterministic in the caller-provided rng, so synth
+    documents stay byte-stable across runs."""
+
+    _P = -4  # all permission bits set (stored as signed 32-bit)
+
+    def __init__(self, mode: str, rng: random.Random):
+        self.mode = mode
+        rb = lambda n: bytes(rng.randrange(256) for _ in range(n))  # noqa: E731
+        self._rng = rng
+        self.id0 = rb(16)
+        if mode == "aes256":
+            # R6 key material comes from a FIXED stream (one producer,
+            # one password record — realistic, and it lets hash_2b's
+            # memo cache amortize the spec's deliberately-expensive
+            # derivation across the corpus); IVs stay per-document
+            krng = random.Random(0x5256AE5)
+            kb = lambda n: bytes(krng.randrange(256) for _ in range(n))  # noqa: E731
+            self.key = kb(32)
+            vsalt, ksalt = kb(8), kb(8)
+            self.u = hash_2b(b"", vsalt) + vsalt + ksalt
+            self.ue = aes_cbc_nopad_encrypt(
+                hash_2b(b"", ksalt), b"\x00" * 16, self.key
+            )
+            o_vsalt, o_ksalt = kb(8), kb(8)
+            self.o = hash_2b(b"", o_vsalt, self.u) + o_vsalt + o_ksalt
+            self.oe = aes_cbc_nopad_encrypt(
+                hash_2b(b"", o_ksalt, self.u), b"\x00" * 16, self.key
+            )
+            perms = (
+                (self._P & 0xFFFFFFFF).to_bytes(4, "little")
+                + b"\xff\xff\xff\xffTadb"
+                + kb(4)
+            )
+            self.perms = aes_encrypt_block(self.key, perms)
+        else:
+            self.v, self.r, n = {
+                "rc4-40": (1, 2, 5),
+                "rc4-128": (2, 3, 16),
+                "aesv2": (4, 4, 16),
+            }[mode]
+            self.o = std_compute_o(b"", b"", self.r, n)
+            self.key = std_file_key(b"", self.o, self._P, self.id0, self.r, n)
+            self.u = std_compute_u(self.key, self.id0, self.r)
+
+    def stm(self, num: int, data: bytes) -> bytes:
+        """Encrypt a stream's (already filter-encoded) bytes."""
+        if self.mode == "aes256":
+            return aes_cbc_encrypt(self.key, self._iv(), data)
+        key = std_object_key(self.key, num, 0, aes=self.mode == "aesv2")
+        if self.mode == "aesv2":
+            return aes_cbc_encrypt(key, self._iv(), data)
+        return rc4(key, data)
+
+    strg = stm  # the synth writer uses /StrF == /StmF
+
+    def _iv(self) -> bytes:
+        return bytes(self._rng.randrange(256) for _ in range(16))
+
+    def encrypt_obj(self) -> bytes:
+        """The /Encrypt dictionary object body."""
+        hx = lambda b: b"<" + b.hex().encode() + b">"  # noqa: E731
+        if self.mode == "aes256":
+            return (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF "
+                b"/O %s /U %s /OE %s /UE %s /Perms %s /P %d >>"
+                % (
+                    hx(self.o),
+                    hx(self.u),
+                    hx(self.oe),
+                    hx(self.ue),
+                    hx(self.perms),
+                    self._P,
+                )
+            )
+        common = b"/O %s /U %s /P %d" % (hx(self.o), hx(self.u), self._P)
+        if self.mode == "rc4-40":
+            return b"<< /Filter /Standard /V 1 /R 2 %s >>" % common
+        if self.mode == "rc4-128":
+            return (
+                b"<< /Filter /Standard /V 2 /R 3 /Length 128 %s >>" % common
+            )
+        return (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 "
+            b"/AuthEvent /DocOpen >> >> /StmF /StdCF /StrF /StdCF %s >>"
+            % common
+        )
+
+    def trailer_extra(self, enc_num: int) -> bytes:
+        """/Encrypt + /ID additions for the trailer or XRef dict."""
+        idhex = b"<" + self.id0.hex().encode() + b">"
+        return b" /Encrypt %d 0 R /ID [%s %s]" % (enc_num, idhex, idhex)
+
+
+def _encode_stream_obj(
+    data: bytes,
+    mode: Optional[str],
+    extra: bytes = b"",
+    enc: Optional[_PdfEncryptor] = None,
+    num: int = 0,
+) -> bytes:
+    """Content-stream object with the given filter chain applied (then
+    encrypted with the object's own key, when an encryptor is set —
+    stored bytes are Encrypt(FilterEncode(data)), ISO 32000-1 §7.6.1)."""
     if mode is None:
         body, filt = data, b""
     elif mode == "flate":
@@ -1760,8 +2042,10 @@ def _encode_stream_obj(data: bytes, mode: Optional[str]) -> bytes:
         filt = b" /Filter [/ASCII85Decode /RunLengthDecode]"
     else:
         raise ValueError(f"pdf: unknown stream filter mode {mode!r}")
+    if enc is not None:
+        body = enc.stm(num, body)
     return (
-        b"<< /Length %d%s >>\nstream\n" % (len(body), filt)
+        b"<< %s/Length %d%s >>\nstream\n" % (extra, len(body), filt)
         + body
         + b"\nendstream"
     )
@@ -1794,6 +2078,7 @@ def encode_pdf(
     stream_filter: Optional[str] = None,
     simple_encoding: Optional[str] = None,
     rotate: int = 0,
+    encrypt: Optional[str] = None,
 ) -> bytes:
     """Write a PDF carrying the given positioned spans.
 
@@ -1831,8 +2116,21 @@ def encode_pdf(
     order comes out bottom-up / column-sideways. Odd seeds HOIST
     /Rotate and /MediaBox onto the /Pages node (the inheritable form),
     even seeds write them per-page.
+    ``encrypt`` wraps the document in the standard security handler
+    with EMPTY user/owner passwords (the ubiquitous real-corpus shape):
+    ``"rc4-40"`` (V1/R2), ``"rc4-128"`` (V2/R3), ``"aesv2"`` (V4/R4
+    crypt filters, AES-128-CBC) or ``"aes256"`` (V5/R6, SHA-2 hardened
+    key derivation) — every stream is stored Encrypt(FilterEncode(data))
+    with its per-object key, an /Info /Title exercises the encrypted-
+    string path, and the file gets the required /ID; all deterministic
+    in ``seed``.
     """
     rng = random.Random(seed)
+    enc: Optional[_PdfEncryptor] = None
+    if encrypt is not None:
+        if encrypt not in ("rc4-40", "rc4-128", "aesv2", "aes256"):
+            raise ValueError(f"pdf: unknown encrypt mode {encrypt!r}")
+        enc = _PdfEncryptor(encrypt, random.Random(seed * 2654435761 + 0xE5C))
     if rotate not in (0, 90, 180, 270):
         raise ValueError("pdf: synth rotate must be 0/90/180/270")
     mb_w, mb_h = (612.0, 792.0) if rotate in (0, 180) else (792.0, 612.0)
@@ -1872,9 +2170,7 @@ def encode_pdf(
             b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
             b"/Encoding /Identity-H /ToUnicode 5 0 R >>"
         )
-        objs[5] = (
-            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
-        )
+        objs[5] = _encode_stream_obj(cmap, None, enc=enc, num=5)
         stream_nums.add(5)
     elif simple_encoding == "differences":
         if len(alphabet) > 255:
@@ -1898,14 +2194,13 @@ def encode_pdf(
         objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     img_num = 4
     stream_nums.add(img_num)
-    img_data = zlib.compress(_IMG_SAMPLES, 6)
-    objs[img_num] = (
-        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
-        b"/Filter /FlateDecode /Length %d >>\nstream\n"
-        % (_IMG_W, _IMG_H, len(img_data))
-        + img_data
-        + b"\nendstream"
+    objs[img_num] = _encode_stream_obj(
+        _IMG_SAMPLES,
+        "flate",
+        extra=b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 " % (_IMG_W, _IMG_H),
+        enc=enc,
+        num=img_num,
     )
 
     next_num = 6 if cid_font else 5
@@ -1963,14 +2258,20 @@ def encode_pdf(
             # exercise the /Contents-array path: split at an op boundary
             cut = len(chunks) // 2
             cnum1, cnum2 = next_num, next_num + 1
-            objs[cnum1] = _encode_stream_obj(b"".join(chunks[:cut]), mode)
-            objs[cnum2] = _encode_stream_obj(b"".join(chunks[cut:]), mode)
+            objs[cnum1] = _encode_stream_obj(
+                b"".join(chunks[:cut]), mode, enc=enc, num=cnum1
+            )
+            objs[cnum2] = _encode_stream_obj(
+                b"".join(chunks[cut:]), mode, enc=enc, num=cnum2
+            )
             stream_nums.update((cnum1, cnum2))
             contents = b"[%d 0 R %d 0 R]" % (cnum1, cnum2)
             next_num += 2
         else:
             cnum = next_num
-            objs[cnum] = _encode_stream_obj(b"".join(chunks), mode)
+            objs[cnum] = _encode_stream_obj(
+                b"".join(chunks), mode, enc=enc, num=cnum
+            )
             stream_nums.add(cnum)
             contents = b"%d 0 R" % cnum
             next_num += 1
@@ -2006,6 +2307,22 @@ def encode_pdf(
         else b"",
     )
 
+    trailer_extra = b""
+    if enc is not None:
+        # an /Info with an encrypted /Title exercises the string path
+        info_num = next_num
+        objs[info_num] = b"<< /Title (%s) >>" % _esc_literal(
+            enc.strg(info_num, b"donut synth corpus")
+        )
+        enc_num = next_num + 1
+        objs[enc_num] = enc.encrypt_obj()
+        next_num += 2
+        # neither may be packed into an ObjStm: the Encrypt dict is
+        # forbidden there (ISO 32000-1 §7.5.7) and the Info string is
+        # individually encrypted, which ObjStm members never are
+        stream_nums.update((info_num, enc_num))
+        trailer_extra = enc.trailer_extra(enc_num) + b" /Info %d 0 R" % info_num
+
     if not xref_stream:
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         max_num = max(objs)
@@ -2019,15 +2336,18 @@ def encode_pdf(
         for num in range(1, max_num + 1):
             out += b"%010d 00000 n \n" % offsets[num]
         out += (
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (max_num + 1, xref_off)
+            b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_num + 1, trailer_extra, xref_off)
         )
         return bytes(out)
-    return _assemble_xref_stream_pdf(objs, stream_nums)
+    return _assemble_xref_stream_pdf(objs, stream_nums, enc, trailer_extra)
 
 
 def _assemble_xref_stream_pdf(
-    objs: Dict[int, bytes], stream_nums: set
+    objs: Dict[int, bytes],
+    stream_nums: set,
+    enc: Optional[_PdfEncryptor] = None,
+    trailer_extra: bytes = b"",
 ) -> bytes:
     """Assemble the PDF 1.5 file shape: dict-only objects packed into
     one /ObjStm, cross-reference as a Predictor-12 /XRef stream."""
@@ -2046,6 +2366,10 @@ def _assemble_xref_stream_pdf(
         header += b"%d %d " % (n, pack_off[n])
     first = len(header)
     stm = zlib.compress(bytes(header + body), 6)
+    if enc is not None:
+        # the ObjStm container is encrypted like any stream (with its
+        # own object number); its member objects are NOT re-encrypted
+        stm = enc.stm(objstm_num, stm)
     objstm_obj = (
         b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
         b"/Length %d >>\nstream\n" % (len(packed), first, len(stm))
@@ -2085,9 +2409,9 @@ def _assemble_xref_stream_pdf(
         prev = row
     xdata = zlib.compress(bytes(filtered), 6)
     out += (
-        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R%s "
         b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
-        b"/Length %d >>\nstream\n" % (xref_num, size, len(xdata))
+        b"/Length %d >>\nstream\n" % (xref_num, size, trailer_extra, len(xdata))
         + xdata
         + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_off
     )

@@ -132,7 +132,15 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     through the display-space transform — every cross-reference,
     filter, text-encoding and page-geometry shape real generators emit
     flows through the same parse, and decoy BI…ID…EI inline images are
-    sprinkled between operators. Emission order inside each page
+    sprinkled between operators. ``num % 17`` ∈ {4, 8, 12} docs are
+    ENCRYPTED under the standard security handler with an empty user
+    password (RC4-40 / RC4-128 / AES-128 crypt filters — the shapes
+    legacy generators emit) and ``num % 53 == 17`` docs take the
+    modern AES-256 / R6 shape (rarer in the rotation because its
+    spec-mandated key derivation is deliberately expensive; the
+    per-process memo in core/pdfcrypt.py amortizes it) — a parser
+    that quarantines every /Encrypt document loses those rows and
+    FAILS the oracle. Emission order inside each page
     is seed-shuffled so a parser that trusts stream order FAILS the
     oracle. Deterministic in doc_id alone — stable across partition
     layouts and cluster sizes.
@@ -164,6 +172,13 @@ def synth_pdf_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                         "a85rl",
                         "ahxlzw",
                     )[num % 7],
+                    encrypt=(
+                        "aes256"
+                        if num % 53 == 17
+                        else {4: "rc4-40", 8: "rc4-128", 12: "aesv2"}.get(
+                            num % 17
+                        )
+                    ),
                 )
                 if num % 11 == 7 and not kw["cid_font"]:
                     kw["simple_encoding"] = "differences"

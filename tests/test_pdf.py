@@ -267,9 +267,12 @@ def _swap_nth(data: bytes, old: bytes, new: bytes, n: int) -> bytes:
     [
         (lambda d: b"nope" + d[4:], "bad header"),
         (lambda d: d[:-40], "no startxref"),
+        # a dangling /Encrypt ref engages the (real) decryptor, which
+        # poisons on the malformed dictionary — encrypted docs with an
+        # empty user password now PARSE (see test_pdfcrypt.py)
         (
             lambda d: d.replace(b"/Root", b"/Encrypt 99 0 R /Root"),
-            "encrypted",
+            "Encrypt is not a dictionary",
         ),
         # occurrence 0 is the image XObject (never content-decoded);
         # occurrence 1 is the first page's content stream
