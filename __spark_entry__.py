@@ -268,13 +268,37 @@ def q14_token_stats(spark, sf):
 
 
 def q15_exact_dup_clusters(spark, sf):
-    """Exact dedup: identical-text clusters (md5 keys match DuckDB)."""
+    """Dedup families over documents, one tagged union (round-5 fold):
+    family='exact' — identical-text clusters (md5 fingerprints, keeper =
+    min doc_id; whole-document dedup); family='passage' — SUB-document
+    verbatim duplicated passages (operators.dedup.duplicated_passages,
+    8-gram shingles shared by ≥2 docs, consecutive positions merged —
+    the Lee et al. 2022 substring-dedup shape). The oracle replays both
+    in SQL; the passage replay groups on the shingle STRINGS, so it is
+    independent of the engine's xxhash64 shingle keys."""
+    from donut_spark.operators.dedup import duplicated_passages
+
     d = _sf(sf)(spark, "documents")
-    return (
+    exact = (
         d.groupBy(F.md5(F.col("text")).alias("fp"))
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_dups") > 1)
+        .select(
+            F.lit("exact").alias("family"),
+            F.col("keeper").cast("long").alias("doc_id"),
+            F.lit(-1).cast("long").alias("start_tok"),
+            F.lit(-1).cast("long").alias("end_tok"),
+            F.col("n_dups").cast("long").alias("n"),
+        )
     )
+    passages = duplicated_passages(d, n=8).select(
+        F.lit("passage").alias("family"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "start_tok",
+        "end_tok",
+        F.col("n_tokens").alias("n"),
+    )
+    return exact.unionByName(passages)
 
 
 def q18_grouped_minmax(spark, sf):
@@ -1385,8 +1409,45 @@ def _oracle_sql_for(
             GROUP BY lang
         """,
         "q15_exact_dup_clusters": """
-            SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
-            FROM documents GROUP BY 1 HAVING count(*) > 1
+            -- exact clusters + duplicated passages; the passage replay
+            -- groups on shingle STRINGS (engine-hash independent)
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, len(w) AS nw, CAST(u.i AS BIGINT) AS pos,
+                       array_to_string(w[u.i + 1 : u.i + 8], ' ') AS g
+                FROM toks, unnest(range(0, greatest(len(w) - 8, 0) + 1)) u(i)
+                WHERE array_to_string(w[u.i + 1 : u.i + 8], ' ') <> ''
+            ), dupg AS (
+                SELECT g FROM sh GROUP BY g
+                HAVING count(DISTINCT doc_id) >= 2
+            ), runs AS (
+                SELECT s.doc_id, s.nw, s.pos,
+                       CASE WHEN lag(s.pos) OVER w IS NULL
+                              OR s.pos - lag(s.pos) OVER w > 1
+                            THEN 1 ELSE 0 END AS newrun
+                FROM sh s JOIN dupg d USING (g)
+                WINDOW w AS (PARTITION BY s.doc_id ORDER BY s.pos)
+            ), rid AS (
+                SELECT doc_id, nw, pos,
+                       sum(newrun) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS run
+                FROM runs
+            )
+            SELECT 'exact' AS family, CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(-1 AS BIGINT) AS start_tok,
+                   CAST(-1 AS BIGINT) AS end_tok,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            UNION ALL
+            SELECT 'passage' AS family, CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(min(pos) AS BIGINT) AS start_tok,
+                   CAST(least(max(pos) + 8, max(nw)) - 1 AS BIGINT) AS end_tok,
+                   CAST(least(max(pos) + 8, max(nw)) - min(pos) AS BIGINT) AS n
+            FROM rid GROUP BY doc_id, run
         """,
         "q18_grouped_minmax": """
             SELECT event_type, round(max(value), 4) AS max_value,

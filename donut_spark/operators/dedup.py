@@ -1,6 +1,6 @@
 """Deduplication operators for web-scale corpora.
 
-Four families, each with a distinct scale profile:
+Five families, each with a distinct scale profile:
 
 * :func:`exact_dup_clusters` / :func:`exact_dedup` — hash-groupBy on a
   normalized content fingerprint; one shuffle, map-side partial agg.
@@ -15,6 +15,13 @@ Four families, each with a distinct scale profile:
 * :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via shingle explode
   + self-join; quadratic in cluster size, so it's the *verifier* for LSH
   candidates, not the discovery path (the ``candidates`` arg).
+* :func:`duplicated_passages` — SUB-document dedup (the Lee et al. 2022
+  "Deduplicating Training Data Makes Language Models Better" substring
+  family, re-expressed over token shingles): maximal verbatim passages
+  repeated across ≥ ``min_docs`` documents, merged from consecutive
+  duplicated shingle positions. Never materializes document PAIRS —
+  output is bounded by the corpus's own token positions, so it scales
+  where pair-based plans explode.
 
 All thresholds/seeds are explicit so two runs (or cluster sizes) agree
 bit-for-bit.
@@ -36,6 +43,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "duplicated_passages",
     "connected_components",
     "minhash_banded",
     "hot_buckets",
@@ -593,3 +601,119 @@ def contamination_overlap(
         )
         .filter(F.col("n_hits") >= min_hits)
     )
+
+
+def duplicated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    max_doc_freq: int | None = None,
+    persist: bool = False,
+) -> DataFrame:
+    """Maximal verbatim passages repeated across ≥ ``min_docs`` docs.
+
+    Sub-document dedup (Lee et al. 2022's substring family over word
+    ``n``-gram shingles): every shingle POSITION whose shingle occurs in
+    at least ``min_docs`` distinct documents is a duplicated token run;
+    consecutive duplicated positions merge into one maximal passage.
+    Returns one row per ``(doc, passage)``: ``(key, start_tok, end_tok,
+    n_tokens, n_shingles, max_doc_freq)`` — 0-based token indices into
+    the ''-filtered whitespace split of ``lower(text_col)``, the same
+    tokenization every shingle operator here uses. Trimming
+    ``[start_tok, end_tok]`` from each doc is the Lee et al. dedup;
+    the row set alone is a repetition audit.
+
+    ``max_doc_freq`` EXCLUDES shingles above a document-frequency cap —
+    stop-phrase boilerplate ("all rights reserved …") that would mark
+    half the corpus duplicated; None keeps everything.
+
+    Scale shape (the reason this is not a pair plan): document pairs
+    are never formed. Four key-bounded exchanges — (a) distinct
+    (shingle, doc) with map-side partial dedup, (b) count per shingle,
+    (c) positions ⟕ duplicated-shingles equi-join on the 8-byte
+    ``xxhash64`` shingle key (join OUTPUT ≤ position rows — no
+    explosion; a hot shingle is an AQE skew-join case, not a blowup),
+    (d) the per-doc run-merge window, bounded by each document's own
+    length. Output rows ≤ input shingle positions at every scale.
+    Shingle identity is xxhash64(64-bit): at 10^12 docs a collision can
+    mark an isolated position duplicated — the same accepted trade
+    minhash banding makes; the q15 oracle replays groups on the shingle
+    STRINGS, so the small-scale gate would catch a broken hash.
+
+    The positions frame feeds BOTH the doc-frequency aggregation and the
+    join, so by default the corpus is scanned (and shingled) twice —
+    map-only work, often cheaper than materializing one row per token.
+    ``persist=True`` caches the positions frame instead (one evaluation,
+    ~n_tokens rows of storage); the handle rides the result per
+    ``plans.cache`` — release with ``release_persisted(result)`` after
+    consuming.
+    """
+    from pyspark.sql import Window
+
+    from ..plans.cache import attach_persisted
+
+    words = df.select(
+        F.col(key).alias("k"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("_w"),
+    )
+    # (k, nw, pos, gh): one row per shingle POSITION (not distinct —
+    # positions are the output), gh the 64-bit shingle key. Same
+    # single-split discipline as _shingle_explode (O(words) not
+    # O(words²)): _w is projected once below the Generate.
+    pos = (
+        words.select(
+            "k",
+            F.size("_w").alias("nw"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(_w) - {n}, 0)), "
+                    f"i -> concat_ws(' ', slice(_w, i + 1, {n})))"
+                )
+            ).alias("pos", "sh"),
+        )
+        .filter(F.col("sh") != "")
+        .withColumn("gh", F.xxhash64("sh"))
+        .drop("sh")
+    )
+    handles = []
+    if persist:
+        pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
+        handles.append(pos)
+    dup = (
+        pos.select("gh", "k")
+        .distinct()  # map-side partial dedup before the shuffle
+        .groupBy("gh")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+    )
+    if max_doc_freq is not None:
+        dup = dup.filter(F.col("doc_freq") <= max_doc_freq)
+    marked = pos.join(dup, "gh")
+    # gaps-and-islands: duplicated positions are strictly increasing
+    # distinct ints per doc, so pos - row_number() is constant exactly
+    # within a consecutive run — one window pass, no lag/sum chain
+    w = Window.partitionBy("k").orderBy("pos")
+    runs = marked.withColumn("_run", F.col("pos") - F.row_number().over(w))
+    out = (
+        runs.groupBy(F.col("k").alias(key), "_run")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            # a shingle at pos covers tokens pos .. min(pos+n, nw)-1
+            # (short docs produce one short shingle, same convention as
+            # _shingle_explode)
+            (F.least(F.max("pos") + n, F.max("nw")) - 1)
+            .cast("long")
+            .alias("end_tok"),
+            F.count("*").cast("long").alias("n_shingles"),
+            F.max("doc_freq").cast("long").alias("max_doc_freq"),
+        )
+        .withColumn(
+            "n_tokens", (F.col("end_tok") - F.col("start_tok") + 1)
+        )
+        .drop("_run")
+    )
+    return attach_persisted(out, handles) if handles else out

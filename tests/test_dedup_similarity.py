@@ -910,3 +910,121 @@ def test_ivfadc_rerank_escalation_ood_curve(spark, tmp_path):
         esc_hits += len(esc & truth)
     # measured deterministically: fixed 18/60, escalated 22/60
     assert esc_hits >= fixed_hits + 2, (fixed_hits, esc_hits)
+
+
+# ---------------------------------------------------------------------------
+# duplicated passages (sub-document dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_passages_planted_run(spark):
+    """A 12-token verbatim run shared by two docs at different offsets
+    → one maximal passage per doc with exact token bounds."""
+    from donut_spark.operators.dedup import duplicated_passages
+
+    run = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu"
+    )  # 12 tokens
+    rows = [
+        ("a", "one two three " + run + " tail1 tail2"),  # run at 3..14
+        ("b", run + " closing words here"),  # run at 0..11
+        ("c", "totally different content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in duplicated_passages(df, n=8).collect()}
+    assert set(out) == {"a", "b"}
+    a, b = out["a"], out["b"]
+    assert (a.start_tok, a.end_tok, a.n_tokens) == (3, 14, 12)
+    assert (b.start_tok, b.end_tok, b.n_tokens) == (0, 11, 12)
+    # 12-token run → 12-8+1 = 5 consecutive duplicated shingle positions
+    assert a.n_shingles == 5 and b.n_shingles == 5
+    assert a.max_doc_freq == 2
+
+
+def test_duplicated_passages_disjoint_runs_stay_separate(spark):
+    """Two shared runs separated by non-duplicated gaps → two passage
+    rows per doc, not one merged span."""
+    from donut_spark.operators.dedup import duplicated_passages
+
+    run1 = "r1a r1b r1c r1d r1e r1f r1g r1h"  # exactly 8 tokens
+    run2 = "r2a r2b r2c r2d r2e r2f r2g r2h"
+    rows = [
+        ("a", run1 + " gap1 gap2 gap3 " + run2),
+        ("b", run1 + " other middle words entirely x1 x2 " + run2),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicated_passages(df, n=8).collect()
+    spans = {(r.doc_id, r.start_tok, r.end_tok) for r in out}
+    assert spans == {
+        ("a", 0, 7),
+        ("a", 11, 18),
+        ("b", 0, 7),
+        ("b", 14, 21),
+    }
+
+
+def test_duplicated_passages_short_doc_case_and_ws_insensitive(spark):
+    """Docs shorter than the shingle width dedup as whole-doc passages,
+    through the same lowercase + ''-filtered-split normalization as
+    every other shingle operator."""
+    from donut_spark.operators.dedup import duplicated_passages
+
+    rows = [
+        ("a", "tiny shared doc"),
+        ("b", "  TINY   Shared \t DOC "),
+        ("c", "some other thing entirely unrelated"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in duplicated_passages(df, n=8).collect()}
+    assert set(out) == {"a", "b"}
+    for r in out.values():
+        assert (r.start_tok, r.end_tok, r.n_tokens) == (0, 2, 3)
+
+
+def test_duplicated_passages_doc_freq_cap_drops_boilerplate(spark):
+    """max_doc_freq excludes stop-phrase shingles present in 'every'
+    doc while keeping genuinely-paired passages."""
+    from donut_spark.operators.dedup import duplicated_passages
+
+    boiler = "all rights reserved by the happy example corp"  # 8 tokens
+    pair = "nine distinct tokens forming one genuinely shared passage run"
+    rows = [(f"d{i}", boiler + f" unique{i} tail{i}") for i in range(5)]
+    rows += [("p1", pair + " endA"), ("p2", pair + " endB")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = duplicated_passages(df, n=8, max_doc_freq=3).collect()
+    assert {r.doc_id for r in capped} == {"p1", "p2"}
+    uncapped = duplicated_passages(df, n=8).collect()
+    assert {r.doc_id for r in uncapped} == {f"d{i}" for i in range(5)} | {
+        "p1",
+        "p2",
+    }
+
+
+def test_duplicated_passages_plan_and_persist(spark):
+    """The word split must stay un-inlined (one split per positions
+    subtree — the O(words²) lambda-reevaluation trap), and persist=True
+    must attach a releasable cache handle."""
+    from donut_spark.operators.dedup import duplicated_passages
+    from donut_spark.plans.cache import release_persisted
+
+    df = spark.createDataFrame([("a", "w x y z"), ("b", "w x y z")],
+                               ["doc_id", "text"])
+    plan = (
+        duplicated_passages(df, n=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # positions are evaluated on both sides of the self-referencing
+    # join (doc-frequency side + position side): exactly one
+    # materialized split per side, never one per shingle index
+    assert plan.count("split(lower") <= 2, plan
+    from donut_spark.plans.cache import persistent_rdd_ids
+
+    res = duplicated_passages(df, n=3, persist=True)
+    rows = res.collect()
+    assert rows and rows[0].n_tokens == 4
+    before = persistent_rdd_ids(spark.sparkContext)
+    release_persisted(res)
+    assert persistent_rdd_ids(spark.sparkContext) < before
