@@ -576,12 +576,17 @@ def q22_extract_spans(spark, sf):
 
 
 def q23_lang_quality(spark, sf):
-    """Text analysis: language-ID, quality score, BPE-ish token count.
+    """Text analysis: language-ID, quality score, BPE-ish token count,
+    plus the Gopher rule gates (round-5 fold).
 
-    Oracle-backed by a full SQL REIMPLEMENTATION of all three kernels
+    Oracle-backed by a full SQL REIMPLEMENTATION of all kernels
     (stopword-hit-rate language vote, C4/Gopher-style quality factors,
-    RE2 BPE pre-tokenizer) in DuckDB — a genuinely independent second
-    implementation, not a replay."""
+    RE2 BPE pre-tokenizer, and every per-rule Gopher measurement/gate)
+    in DuckDB — a genuinely independent second implementation, not a
+    replay. The Gopher columns come from functions/quality.py — pure
+    JVM expressions, no Python in that path (the production filter
+    shape; the composite `quality` UDF is the heuristic scorer)."""
+    from donut_spark.functions.quality import gopher_quality
     from donut_spark.functions.udfs import (
         detect_lang_udf,
         quality_udf,
@@ -589,11 +594,21 @@ def q23_lang_quality(spark, sf):
     )
 
     d = _sf(sf)(spark, "documents").filter(F.col("doc_id") < 300)
+    g = gopher_quality(F.col("text"))
     return d.select(
         "doc_id",
         detect_lang_udf("text").alias("detected_lang"),
         F.round(quality_udf("text"), 6).alias("quality"),
         token_count_udf("text").cast("long").alias("n_tokens"),
+        g["n_words"].alias("n_words"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["symbol_ratio"].alias("symbol_ratio"),
+        g["alpha_word_frac"].alias("alpha_word_frac"),
+        g["stop_hits"].alias("stop_hits"),
+        g["ok_words"].alias("ok_words"),
+        g["ok_word_len"].alias("ok_word_len"),
+        g["ok_stops"].alias("ok_stops"),
+        g["gopher_pass"].alias("gopher_pass"),
     )
 
 
@@ -1281,6 +1296,7 @@ def _oracle_sql_for(
     adc_books: str = "/root/repo/.fixtures/ivfadc_sf0.01_c16_m16_k64_books.parquet",
 ) -> dict[str, str]:
     from donut_spark.core.textstats import STOPWORDS
+    from donut_spark.functions.quality import GOPHER_STOPWORDS
 
     qvec = "[" + ", ".join(str(v) for v in _unit_query_vec(64)) + "]"
     en, es, fr, de = (
@@ -1289,6 +1305,7 @@ def _oracle_sql_for(
         _sql_str_list(STOPWORDS["fr"]),
         _sql_str_list(STOPWORDS["de"]),
     )
+    gstop = _sql_str_list(GOPHER_STOPWORDS)
     sqls = {
         "q01_filter_project": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -1568,10 +1585,12 @@ def _oracle_sql_for(
             WITH base AS (
               SELECT doc_id, text,
                      list_transform(regexp_extract_all(text, '\\w+'),
-                                    x -> lower(x)) AS words
+                                    x -> lower(x)) AS words,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS wsw
               FROM documents WHERE doc_id < 300
             ), hits AS (
-              SELECT doc_id, text, words, len(words) AS n,
+              SELECT doc_id, text, words, wsw, len(words) AS n,
                 len(list_filter(words, x -> list_contains({en}, x))) AS h_en,
                 len(list_filter(words, x -> list_contains({es}, x))) AS h_es,
                 len(list_filter(words, x -> list_contains({fr}, x))) AS h_fr,
@@ -1591,6 +1610,28 @@ def _oracle_sql_for(
                   WHEN h_fr >= h_de THEN 'fr'
                   ELSE 'de' END AS detected_lang
               FROM hits
+            ), gq AS (
+              -- Gopher-rule measurements (functions/quality.py replay):
+              -- whitespace words, raw (un-lowered) text, ratios rounded
+              -- to 6 places on BOTH engines before thresholding
+              SELECT *,
+                len(wsw) AS g_n,
+                round(list_sum(list_transform(wsw, w -> len(w)))::DOUBLE
+                      / nullif(len(wsw), 0), 6) AS g_mwl,
+                round(((len(text) - len(replace(text, '#', '')))
+                       + (len(text) - len(replace(text, '...', ''))) / 3
+                       + (len(text) - len(replace(text, '…', ''))))::DOUBLE
+                      / nullif(len(wsw), 0), 6) AS g_sym,
+                round(len(list_filter(string_split_regex(text, '\\n'),
+                                      l -> regexp_matches(l, '^\\s*[-*•‣▪]')))::DOUBLE
+                      / nullif(len(string_split_regex(text, '\\n')), 0), 6) AS g_bul,
+                round(len(list_filter(string_split_regex(text, '\\n'),
+                                      l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::DOUBLE
+                      / nullif(len(string_split_regex(text, '\\n')), 0), 6) AS g_ell,
+                round(len(list_filter(wsw, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                      / nullif(len(wsw), 0), 6) AS g_alpha,
+                len(list_filter(wsw, w -> list_contains({gstop}, lower(w)))) AS g_stops
+              FROM langed
             )
             SELECT doc_id, detected_lang,
               round(CASE WHEN text = '' OR n = 0 THEN 0.0 ELSE
@@ -1610,8 +1651,21 @@ def _oracle_sql_for(
                      THEN 0.6 ELSE 1.0 END)
               END, 6) AS quality,
               len(regexp_extract_all(text,
-                  '''(?:s|t|re|ve|m|ll|d)| ?[^\\W\\d_]+| ?\\d+| ?[^\\s\\w]+')) AS n_tokens
-            FROM langed
+                  '''(?:s|t|re|ve|m|ll|d)| ?[^\\W\\d_]+| ?\\d+| ?[^\\s\\w]+')) AS n_tokens,
+              CAST(g_n AS BIGINT) AS n_words,
+              g_mwl AS mean_word_len,
+              g_sym AS symbol_ratio,
+              g_alpha AS alpha_word_frac,
+              CAST(g_stops AS BIGINT) AS stop_hits,
+              (g_n > 0 AND g_n >= 50 AND g_n <= 100000) AS ok_words,
+              coalesce(g_n > 0 AND g_mwl >= 3.0 AND g_mwl <= 10.0, FALSE)
+                  AS ok_word_len,
+              (g_n > 0 AND g_stops >= 2) AS ok_stops,
+              coalesce(g_n > 0 AND g_n >= 50 AND g_n <= 100000
+                       AND g_mwl >= 3.0 AND g_mwl <= 10.0 AND g_sym <= 0.1
+                       AND g_bul <= 0.9 AND g_ell <= 0.3 AND g_alpha >= 0.8
+                       AND g_stops >= 2, FALSE) AS gopher_pass
+            FROM gq
         """,
         "q27_ann_topk": f"""
             SELECT vec_id,

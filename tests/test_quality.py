@@ -1,0 +1,95 @@
+"""Gopher-rule quality gates (functions/quality.py).
+
+Each published rule (Rae et al. 2021 §A1.1) gets a planted document
+that fails it alone; the whole path must stay JVM-side (zero Python
+eval nodes — it is the production 10^12-doc filter, unlike the
+composite pandas-UDF scorer it complements).
+"""
+
+from pyspark.sql import functions as F
+
+from donut_spark.functions.quality import GOPHER_STOPWORDS, gopher_quality
+
+GOOD = (
+    "the quick brown fox jumps over that lazy dog with style and of "
+    "course be have to " * 4
+)
+
+
+def _flags(spark, text, **kw):
+    df = spark.createDataFrame([(text,)], ["text"])
+    return df.select(gopher_quality(F.col("text"), **kw).alias("g")).first().g
+
+
+def test_good_doc_passes(spark):
+    g = _flags(spark, GOOD)
+    assert g.gopher_pass and g.n_words == 68 and g.stop_hits >= 2
+
+
+def test_each_rule_fails_alone(spark):
+    stops = "the of and that have with be to "
+    cases = {
+        "ok_words": "too few words entirely",
+        "ok_word_len": stops + "abcdefghijklmnopq " * 60,
+        "ok_symbols": stops + "# # # w w " * 30,
+        "ok_bullets": "\n".join(["- the item of that list we have"] * 30),
+        "ok_ellipsis": "\n".join(
+            [stops + "line that trails off..."] * 4 + ["the plain line"] * 6
+        )
+        + " "
+        + "pad " * 45,
+        "ok_alpha": stops + "123 456 " * 30,
+        "ok_stops": "word " * 60,
+    }
+    for flag, text in cases.items():
+        g = _flags(spark, text)
+        assert not g.gopher_pass, flag
+        assert not g[flag], (flag, g)
+
+
+def test_empty_doc_fails_everything(spark):
+    g = _flags(spark, "   ")
+    assert g.n_words == 0 and not g.gopher_pass
+    for f in (
+        "ok_words",
+        "ok_word_len",
+        "ok_symbols",
+        "ok_bullets",
+        "ok_ellipsis",
+        "ok_alpha",
+        "ok_stops",
+    ):
+        assert g[f] is False, f
+
+
+def test_thresholds_are_parameters(spark):
+    short = "the of and that have with be to nine ten"
+    assert not _flags(spark, short).gopher_pass  # 10 < default 50
+    assert _flags(spark, short, min_words=5).gopher_pass
+
+
+def test_stopword_set_is_the_published_one():
+    assert GOPHER_STOPWORDS == (
+        "the",
+        "be",
+        "to",
+        "of",
+        "and",
+        "that",
+        "have",
+        "with",
+    )
+
+
+def test_gopher_path_is_jvm_only(spark):
+    """The rule sweep must contain zero Python eval nodes — it is the
+    whole-stage-codegen filter path for corpus curation."""
+    df = spark.createDataFrame([(GOOD,)], ["text"])
+    plan = (
+        df.select(gopher_quality(F.col("text")).alias("g"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, plan
