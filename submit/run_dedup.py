@@ -18,6 +18,12 @@ Input: a table with (doc_id, text [, ...]). Output layout:
     clusters/     (doc_id, cluster) near-dup component assignments
     pairs/        verified near-dup pairs (a, b, jaccard)
     exact_dups/   byte-identical clusters (fp, n_dups, keeper)
+    passages/     sub-document duplicated passages AMONG THE SURVIVORS
+                  (doc_id, start_tok, end_tok, …) — residual verbatim
+                  boilerplate that doc-level dedup cannot remove (the
+                  Lee et al. 2022 substring family); trim these spans
+                  or weigh them at training time (--passages-ngram 0
+                  disables)
     audit/hot_buckets/   LSH buckets the cap dropped (NEVER silent:
                   count these before trusting a capped run's coverage)
 
@@ -40,6 +46,12 @@ def main() -> None:
     ap.add_argument("--num-perm", type=int, default=64)
     ap.add_argument("--bands", type=int, default=16)
     ap.add_argument("--max-bucket-size", type=int, default=1000)
+    ap.add_argument(
+        "--passages-ngram",
+        type=int,
+        default=8,
+        help="shingle width for the survivor passage audit; 0 disables",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,6 +59,7 @@ def main() -> None:
 
     from donut_spark.operators.dedup import (
         connected_components,
+        duplicated_passages,
         exact_dedup,
         exact_dup_clusters,
         hot_buckets,
@@ -125,6 +138,27 @@ def main() -> None:
     deduped.write.mode("overwrite").parquet(f"{out}/deduped")
     clusters_res.release()
 
+    # 5. sub-document passage audit over the SURVIVORS: verbatim runs
+    #    still shared across kept documents (boilerplate doc-level
+    #    dedup can't remove). Reads the written table so the dedup
+    #    join chain isn't recomputed; the persisted positions frame is
+    #    released like every other stage cache.
+    n_passages = 0
+    if args.passages_ngram:
+        survivors = spark.read.parquet(f"{out}/deduped")
+        pass_res = capture(
+            duplicated_passages(
+                survivors,
+                args.text_col,
+                args.key,
+                n=args.passages_ngram,
+                persist=True,
+            )
+        )
+        pass_res.frame.write.mode("overwrite").parquet(f"{out}/passages")
+        pass_res.release()
+        n_passages = spark.read.parquet(f"{out}/passages").count()
+
     n_in = docs.count()
     n_out = spark.read.parquet(f"{out}/deduped").count()
     n_hot = spark.read.parquet(f"{out}/audit/hot_buckets").count()
@@ -134,6 +168,7 @@ def main() -> None:
     print(
         f"dedup: {n_in} -> {n_out} rows "
         f"({n_in - n_out} removed); hot buckets dropped by cap: {n_hot}; "
+        f"survivor passages flagged: {n_passages}; "
         f"residual cached rdds: {n_leaked}"
     )
 

@@ -143,6 +143,12 @@ def test_spark_submit_dedup_pipeline(spark, tmp_path):
     rows += [(f"u{i}", f"unique document number {i} about topic {i*7} "
               f"with entirely distinct content tokens {i*13} {i*17} {i*19}")
              for i in range(8)]
+    # two SURVIVORS sharing a 10-token boilerplate prefix but with long
+    # distinct tails: Jaccard stays far below threshold (both are kept),
+    # so only the passage audit can flag the shared run
+    boiler = "copyright two thousand example industries incorporated every single right reserved"
+    rows += [("p1", boiler + " " + " ".join(f"alpha{i} tale{i}" for i in range(15))),
+             ("p2", boiler + " " + " ".join(f"beta{i} story{i}" for i in range(15)))]
     src = str(tmp_path / "docs_in")
     spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
 
@@ -183,10 +189,17 @@ def test_spark_submit_dedup_pipeline(spark, tmp_path):
     # d2 removed as exact dup of d1; d3 removed as near-dup (keeper d1)
     assert "d1" in deduped and "d2" not in deduped and "d3" not in deduped
     assert all(f"u{i}" in deduped for i in range(8))
+    # the boilerplate-sharing pair is NOT a near-dup — both survive
+    assert "p1" in deduped and "p2" in deduped
     exact = spark.read.parquet(f"{out_dir}/exact_dups").collect()
     assert len(exact) == 1 and exact[0].n_dups == 2
     pairs = spark.read.parquet(f"{out_dir}/pairs").collect()
     assert {(p.a, p.b) for p in pairs} == {("d1", "d3")}
+    # ...but the survivor passage audit flags their shared 10-token run
+    passages = spark.read.parquet(f"{out_dir}/passages").collect()
+    assert {
+        (p.doc_id, p.start_tok, p.end_tok, p.n_tokens) for p in passages
+    } == {("p1", 0, 9, 10), ("p2", 0, 9, 10)}
 
 
 def test_spark_submit_index_build(spark, tmp_path):
