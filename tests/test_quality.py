@@ -93,3 +93,43 @@ def test_gopher_path_is_jvm_only(spark):
     )
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan, plan
+
+
+def test_gopher_gate_works_on_a_stream(spark, tmp_path):
+    """Ingest-time quality gating: the rule struct is stateless JVM
+    expressions, so the same gate runs UNCHANGED on a file stream and
+    keeps exactly the rows the batch gate keeps (append mode, no
+    state, no watermark — the right shape for a landing-zone filter)."""
+    import os
+
+    rows = [
+        ("keep", GOOD),
+        ("short", "too few words here"),
+        ("nostops", "word " * 60),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch_kept = {
+        r.doc_id
+        for r in df.filter(
+            gopher_quality(F.col("text"))["gopher_pass"]
+        ).collect()
+    }
+    assert batch_kept == {"keep"}
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    df.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream = spark.readStream.schema(df.schema).parquet(src + "/*")
+    q = (
+        stream.filter(gopher_quality(F.col("text"))["gopher_pass"])
+        .select("doc_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert streamed == batch_kept
