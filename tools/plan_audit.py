@@ -97,6 +97,17 @@ def main() -> None:
         "node per shingle subtree (the word array is projected once "
         "below each Generate; the transform lambda must NOT re-evaluate "
         "the split per shingle index — that would be O(words^2)/doc).",
+        "q15_exact_dup_clusters": "MUST show (passage branch): the "
+        "duplicated-shingle side joined back on the 8-byte xxhash64 key "
+        "(join output <= position rows, no pair explosion), ONE "
+        "Exchange on the doc key feeding the run-merge Window, and the "
+        "final groupBy(doc, run) REUSING that exchange (HashAggregate "
+        "directly above the Window, no second shuffle); exact branch: "
+        "partial HashAggregate below its single Exchange.",
+        "q23_lang_quality": "MUST show: the Gopher rule columns as pure "
+        "JVM expressions (the ONLY Python nodes are the three legacy "
+        "textstats UDF columns — exactly one ArrowEvalPython node; the "
+        "rule sweep itself adds zero).",
         "q55_pdf_extract": "MUST show: pruned ReadSchema (doc_id + "
         "expected only — spans/gt_parse never read), pushed doc_id "
         "IsNotNull, the two MapInPandas kernels (synth, parse) stacked "
