@@ -44,6 +44,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "duplicated_passages",
+    "trim_duplicated_passages",
     "connected_components",
     "minhash_banded",
     "hot_buckets",
@@ -717,3 +718,63 @@ def duplicated_passages(
         .drop("_run")
     )
     return attach_persisted(out, handles) if handles else out
+
+
+def trim_duplicated_passages(
+    df: DataFrame,
+    passages: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    keep_whole_doc: bool = True,
+) -> DataFrame:
+    """Remove flagged duplicated passages from each document's text —
+    the apply half of the Lee et al. 2022 pipeline (detect with
+    :func:`duplicated_passages`, trim here). Adds a
+    ``<text_col>_trimmed`` column (lowercased, single-space joined —
+    the detector's own token space).
+
+    Token indices in ``passages`` (``start_tok``/``end_tok``) refer to
+    the SAME ''-filtered whitespace split of ``lower(text)`` the
+    detector used, so the two compose exactly. Lee et al. §4 removes
+    every flagged span and keeps the surviving non-duplicated text;
+    ``keep_whole_doc=True`` (default) additionally exempts passages
+    covering a document's ENTIRE text, so exact whole-doc duplicates
+    are left to document-level dedup instead of being silently
+    annihilated to empty strings (set False for the strict behavior).
+
+    Scale shape: one per-doc aggregation of the passage spans (output
+    ≤ one row per doc) joined onto the corpus, then a single JVM
+    projection (split → indexed filter via ``transform``+``exists`` →
+    ``concat_ws``) — map-only after the join, no Python.
+    """
+    spans = passages.groupBy(F.col(key).alias("_k")).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    joined = df.join(spans, df[key] == spans["_k"], "left").drop("_k")
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n_words = F.size(words)
+
+    def _kept(ws):
+        idx = F.transform(
+            ws, lambda w, i: F.struct(w.alias("w"), i.alias("i"))
+        )
+        def flagged(s):
+            def covers(p):
+                hit = (s["i"] >= p["start_tok"]) & (s["i"] <= p["end_tok"])
+                if keep_whole_doc:
+                    # passages covering the whole doc are exempt
+                    hit = hit & ~(
+                        (p["start_tok"] == 0) & (p["end_tok"] == n_words - 1)
+                    )
+                return hit
+
+            return F.exists(F.col("_spans"), covers)
+
+        return F.filter(idx, lambda s: ~flagged(s))
+
+    trimmed = F.when(
+        F.col("_spans").isNull(), F.lower(F.col(text_col))
+    ).otherwise(F.concat_ws(" ", F.transform(_kept(words), lambda s: s["w"])))
+    return joined.withColumn(f"{text_col}_trimmed", trimmed).drop("_spans")

@@ -1028,3 +1028,67 @@ def test_duplicated_passages_plan_and_persist(spark):
     before = persistent_rdd_ids(spark.sparkContext)
     release_persisted(res)
     assert persistent_rdd_ids(spark.sparkContext) < before
+
+
+def test_trim_duplicated_passages_composes_with_detect(spark):
+    """detect → trim removes exactly the flagged token spans; re-running
+    detection on the trimmed corpus finds NOTHING (fixpoint); untouched
+    docs pass through; whole-doc duplicates are exempt by default and
+    emptied in strict mode (left to doc-level dedup otherwise)."""
+    from donut_spark.operators.dedup import (
+        duplicated_passages,
+        trim_duplicated_passages,
+    )
+
+    run = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu"
+    )
+    rows = [
+        ("a", "One two three " + run + " tail1 tail2"),
+        ("b", run + " closing words here"),
+        ("c", "unique text entirely its own thing nothing shared at all"),
+        ("d", "tiny shared doc"),
+        ("e", "tiny shared doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = duplicated_passages(df, n=8)
+    out = {
+        r.doc_id: r.text_trimmed
+        for r in trim_duplicated_passages(df, p).collect()
+    }
+    assert out["a"] == "one two three tail1 tail2"  # case-normalized
+    assert out["b"] == "closing words here"
+    assert out["c"].startswith("unique text entirely")
+    assert out["d"] == out["e"] == "tiny shared doc"  # whole-doc exempt
+    strict = {
+        r.doc_id: r.text_trimmed
+        for r in trim_duplicated_passages(
+            df, p, keep_whole_doc=False
+        ).collect()
+    }
+    assert strict["d"] == strict["e"] == ""
+    # fixpoint: the trimmed corpus has no duplicated passages left
+    df2 = spark.createDataFrame(
+        [(k, v) for k, v in out.items()], ["doc_id", "text"]
+    )
+    again = duplicated_passages(df2, n=8).collect()
+    assert [r for r in again if r.doc_id in ("a", "b", "c")] == []
+
+
+def test_trim_duplicated_passages_is_jvm_only(spark):
+    """The trim projection must add zero Python eval nodes."""
+    from donut_spark.operators.dedup import (
+        duplicated_passages,
+        trim_duplicated_passages,
+    )
+
+    df = spark.createDataFrame([("a", "w x y z")], ["doc_id", "text"])
+    plan = (
+        trim_duplicated_passages(df, duplicated_passages(df, n=3))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, plan
