@@ -586,7 +586,7 @@ def q23_lang_quality(spark, sf):
     replay. The Gopher columns come from functions/quality.py — pure
     JVM expressions, no Python in that path (the production filter
     shape; the composite `quality` UDF is the heuristic scorer)."""
-    from donut_spark.functions.quality import gopher_quality
+    from donut_spark.functions.quality import gopher_quality, gopher_repetition
     from donut_spark.functions.udfs import (
         detect_lang_udf,
         quality_udf,
@@ -595,6 +595,7 @@ def q23_lang_quality(spark, sf):
 
     d = _sf(sf)(spark, "documents").filter(F.col("doc_id") < 300)
     g = gopher_quality(F.col("text"))
+    r = gopher_repetition(F.col("text"))
     return d.select(
         "doc_id",
         detect_lang_udf("text").alias("detected_lang"),
@@ -609,6 +610,9 @@ def q23_lang_quality(spark, sf):
         g["ok_word_len"].alias("ok_word_len"),
         g["ok_stops"].alias("ok_stops"),
         g["gopher_pass"].alias("gopher_pass"),
+        r["top2gram_char_frac"].alias("top2gram_char_frac"),
+        r["top3gram_char_frac"].alias("top3gram_char_frac"),
+        r["repetition_pass"].alias("repetition_pass"),
     )
 
 
@@ -1632,6 +1636,51 @@ def _oracle_sql_for(
                       / nullif(len(wsw), 0), 6) AS g_alpha,
                 len(list_filter(wsw, w -> list_contains({gstop}, lower(w)))) AS g_stops
               FROM langed
+            ), rep0 AS (
+              -- repetition rules (functions/quality.py::gopher_repetition):
+              -- lower-cased word space; dup lines via sorted-predecessor
+              SELECT *,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '') AS wl,
+                list_sort(list_filter(string_split_regex(text, '\\n'),
+                                      l -> trim(l) <> '')) AS ls
+              FROM gq
+            ), rep1 AS (
+              SELECT *,
+                list_transform(range(0, greatest(len(wl) - 1, 0)),
+                               i -> array_to_string(wl[i + 1 : i + 2], ' ')) AS g2,
+                list_transform(range(0, greatest(len(wl) - 2, 0)),
+                               i -> array_to_string(wl[i + 1 : i + 3], ' ')) AS g3,
+                list_sum(list_transform(wl, w -> len(w))) AS wchars,
+                list_filter(list_zip(ls, [''] || ls[1 : len(ls) - 1]),
+                            z -> z[1] = z[2]) AS dupl
+              FROM rep0
+            ), rep2 AS (
+              SELECT *,
+                list_max(list_transform(g2,
+                    g -> len(list_filter(g2, x -> x = g)))) AS bc2,
+                list_max(list_transform(g3,
+                    g -> len(list_filter(g3, x -> x = g)))) AS bc3,
+                coalesce(round(len(dupl)::DOUBLE / nullif(len(ls), 0), 6),
+                         0.0) AS r_dlf,
+                coalesce(round(coalesce(list_sum(list_transform(dupl,
+                    z -> len(z[1]))), 0)::DOUBLE
+                    / nullif(list_sum(list_transform(ls, l -> len(l))), 0),
+                    6), 0.0) AS r_dlcf
+              FROM rep1
+            ), rep AS (
+              SELECT *,
+                CASE WHEN coalesce(bc2, 0) >= 2 THEN round(bc2
+                    * len(replace(list_aggregate(list_filter(g2,
+                        g -> len(list_filter(g2, x -> x = g)) = bc2),
+                        'min'), ' ', ''))::DOUBLE
+                    / nullif(wchars, 0), 6) ELSE 0.0 END AS r_top2,
+                CASE WHEN coalesce(bc3, 0) >= 2 THEN round(bc3
+                    * len(replace(list_aggregate(list_filter(g3,
+                        g -> len(list_filter(g3, x -> x = g)) = bc3),
+                        'min'), ' ', ''))::DOUBLE
+                    / nullif(wchars, 0), 6) ELSE 0.0 END AS r_top3
+              FROM rep2
             )
             SELECT doc_id, detected_lang,
               round(CASE WHEN text = '' OR n = 0 THEN 0.0 ELSE
@@ -1664,8 +1713,12 @@ def _oracle_sql_for(
               coalesce(g_n > 0 AND g_n >= 50 AND g_n <= 100000
                        AND g_mwl >= 3.0 AND g_mwl <= 10.0 AND g_sym <= 0.1
                        AND g_bul <= 0.9 AND g_ell <= 0.3 AND g_alpha >= 0.8
-                       AND g_stops >= 2, FALSE) AS gopher_pass
-            FROM gq
+                       AND g_stops >= 2, FALSE) AS gopher_pass,
+              r_top2 AS top2gram_char_frac,
+              r_top3 AS top3gram_char_frac,
+              (r_dlf <= 0.30 AND r_dlcf <= 0.20
+               AND r_top2 <= 0.20 AND r_top3 <= 0.18) AS repetition_pass
+            FROM rep
         """,
         "q27_ann_topk": f"""
             SELECT vec_id,

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["GOPHER_STOPWORDS", "gopher_quality"]
+__all__ = ["GOPHER_STOPWORDS", "gopher_quality", "gopher_repetition"]
 
 # the paper's stop-word presence set (§A1.1: "contains at least two of
 # the following English words: the, be, to, of, and, that, have, with")
@@ -144,4 +144,165 @@ def gopher_quality(
         stop_hits.cast("long").alias("stop_hits"),
         *gated.values(),
         gopher_pass.alias("gopher_pass"),
+    )
+
+
+def _dup_after_first(sorted_arr: Column) -> Column:
+    """Pairs each element of a SORTED array with its predecessor —
+    elements equal to their predecessor are 2nd+ occurrences."""
+    shifted = F.concat(
+        F.array(F.lit("")),
+        F.slice(
+            sorted_arr, 1, F.greatest(F.size(sorted_arr) - 1, F.lit(0))
+        ),
+    )
+    return F.zip_with(
+        sorted_arr,
+        shifted,
+        lambda a, b: F.struct(a.alias("v"), (a == b).alias("dup")),
+    )
+
+
+def _word_chars(s: Column) -> Column:
+    """Character count of a space-joined gram, spaces excluded."""
+    return F.length(F.replace(s, F.lit(" "), F.lit("")))
+
+
+def _top_gram_char_frac(words: Column, n: int) -> Column:
+    """Fraction of word characters inside the most frequent word
+    ``n``-gram (ties broken to the lexicographically smallest gram —
+    deterministic across partitionings). One fold over the SORTED gram
+    array carries (prev, run, best, best_gram); strict ``>`` keeps the
+    first maximal run, which in sorted order IS the smallest gram."""
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bestg"),
+    )
+    folded = F.aggregate(
+        F.array_sort(grams),
+        acc0,
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.when(
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                > acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            )
+            .otherwise(acc["best"])
+            .alias("best"),
+            F.when(
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                > acc["best"],
+                g,
+            )
+            .otherwise(acc["bestg"])
+            .alias("bestg"),
+        ),
+    )
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    # occurrences × gram chars (the DataTrove-style accounting: gram
+    # overlaps are NOT deduped, so heavy loops can exceed 1.0 — the
+    # gate compares ≤ threshold, unaffected); a gram seen ONCE is not
+    # repetition, so best-run < 2 scores 0 (otherwise every short doc
+    # fails on its own longest gram)
+    return F.coalesce(
+        F.when(
+            folded["best"] >= 2,
+            F.round(
+                (folded["best"] * _word_chars(folded["bestg"]))
+                / F.nullif(total_chars.cast("double"), F.lit(0.0)),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+        F.lit(0.0),
+    )
+
+
+def gopher_repetition(
+    text: Column,
+    *,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_char_frac: float = 0.20,
+    max_top3gram_char_frac: float = 0.18,
+) -> Column:
+    """The Gopher REPETITION filters (Rae et al. 2021 §A1.1, the other
+    half of :func:`gopher_quality`): duplicate-line fraction, duplicate-
+    line CHARACTER fraction, and the fraction of characters inside the
+    most frequent word 2-/3-gram — all as Catalyst expressions (one
+    ``aggregate`` fold per gram width; no Python, no explode).
+
+    Definitions (pinned for the oracle replay): lines are non-empty
+    ``\\n`` splits; a duplicate line is a 2nd+ occurrence of an exact
+    line (sorted-predecessor trick); gram characters exclude the joining
+    spaces; word space is the ''-filtered whitespace split of
+    ``lower(text)``, same as every shingle operator here. Cross-doc /
+    positional repetition is :func:`~donut_spark.operators.dedup.
+    duplicated_passages`'s job — this struct is the cheap per-document
+    gate. Returns measurements + per-rule gates + ``repetition_pass``.
+    """
+    lines = F.filter(
+        F.split(text, r"\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    marked = _dup_after_first(F.array_sort(lines))
+    dups = F.filter(marked, lambda s: s["dup"])
+    dup_line_frac = F.coalesce(
+        F.round(
+            F.size(dups) / F.nullif(n_lines.cast("double"), F.lit(0.0)), 6
+        ),
+        F.lit(0.0),
+    )
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, ln: a + F.length(ln)
+    )
+    dup_line_chars = F.aggregate(
+        dups, F.lit(0).cast("long"), lambda a, s: a + F.length(s["v"])
+    )
+    dup_line_char_frac = F.coalesce(
+        F.round(
+            dup_line_chars / F.nullif(line_chars.cast("double"), F.lit(0.0)),
+            6,
+        ),
+        F.lit(0.0),
+    )
+    words = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: w != F.lit("")
+    )
+    top2 = _top_gram_char_frac(words, 2)
+    top3 = _top_gram_char_frac(words, 3)
+    ok_dup_lines = F.coalesce(
+        dup_line_frac <= max_dup_line_frac, F.lit(True)
+    )
+    ok_dup_line_chars = F.coalesce(
+        dup_line_char_frac <= max_dup_line_char_frac, F.lit(True)
+    )
+    ok_top2 = F.coalesce(top2 <= max_top2gram_char_frac, F.lit(True))
+    ok_top3 = F.coalesce(top3 <= max_top3gram_char_frac, F.lit(True))
+    return F.struct(
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        top2.alias("top2gram_char_frac"),
+        top3.alias("top3gram_char_frac"),
+        ok_dup_lines.alias("ok_dup_lines"),
+        ok_dup_line_chars.alias("ok_dup_line_chars"),
+        ok_top2.alias("ok_top2gram"),
+        ok_top3.alias("ok_top3gram"),
+        (ok_dup_lines & ok_dup_line_chars & ok_top2 & ok_top3).alias(
+            "repetition_pass"
+        ),
     )

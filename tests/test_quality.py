@@ -6,6 +6,7 @@ eval nodes — it is the production 10^12-doc filter, unlike the
 composite pandas-UDF scorer it complements).
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from donut_spark.functions.quality import GOPHER_STOPWORDS, gopher_quality
@@ -133,3 +134,64 @@ def test_gopher_gate_works_on_a_stream(spark, tmp_path):
     q.awaitTermination(180)
     streamed = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert streamed == batch_kept
+
+
+def test_repetition_rules_planted(spark):
+    """Each repetition rule fires on its planted doc and stays quiet on
+    clean text; a gram seen once is NOT repetition (short docs must not
+    fail on their own longest gram)."""
+    from donut_spark.functions.quality import gopher_repetition
+
+    rows = [
+        ("clean", "the quick brown fox jumps over that lazy dog today"),
+        ("duplines", "\n".join(["same line here"] * 6 + ["one two three"])),
+        ("loop2", "spam ham " * 30 + "other words appear once each"),
+        ("loop3", "go stop wait " * 10 + "then regular content follows"),
+        ("empty", "   "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", gopher_repetition(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert out["clean"].repetition_pass
+    assert out["clean"].top3gram_char_frac == 0.0  # single occurrences
+    d = out["duplines"]
+    assert not d.repetition_pass and not d.ok_dup_lines
+    assert d.dup_line_frac == pytest.approx(5 / 7, abs=1e-6)
+    assert not out["loop2"].ok_top2gram
+    assert not out["loop3"].ok_top3gram
+    e = out["empty"]
+    assert e.repetition_pass and e.dup_line_frac == 0.0
+
+
+def test_repetition_thresholds_are_parameters(spark):
+    from donut_spark.functions.quality import gopher_repetition
+
+    text = "spam ham " * 30
+    df = spark.createDataFrame([(text,)], ["text"])
+    strict = df.select(
+        gopher_repetition(F.col("text")).alias("g")
+    ).first().g
+    lax = df.select(
+        gopher_repetition(
+            F.col("text"), max_top2gram_char_frac=1.0
+        ).alias("g")
+    ).first().g
+    assert not strict.ok_top2gram and lax.ok_top2gram
+
+
+def test_repetition_path_is_jvm_only(spark):
+    from donut_spark.functions.quality import gopher_repetition
+
+    df = spark.createDataFrame([(GOOD,)], ["text"])
+    plan = (
+        df.select(gopher_repetition(F.col("text")).alias("g"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, plan
