@@ -245,13 +245,35 @@ def q12_edit_distance(spark, sf):
 
 
 def q13_regex_filter(spark, sf):
-    """F4/F8/T11: regex predicate filters on documents."""
+    """F4/F8/T11 regex predicate filters + PII redaction (round-5 fold,
+    tagged union): family='filter' keeps the original per-lang counts;
+    family='redact' runs functions/redact.py::redact_pii over the
+    committed planted fixture (the synthetic tables hold no PII) — the
+    oracle replays the same email→IP→phone cascade with RE2, so the
+    patterns are pinned to the Java∩RE2 common subset."""
+    from donut_spark.functions.redact import PII_FIXTURE, redact_pii
+
     d = _sf(sf)(spark, "documents")
-    return (
+    filt = (
         d.filter(F.col("text").rlike("spark") & ~F.col("text").rlike("dup"))
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.lit("filter").alias("family"),
+            F.col("lang").alias("k"),
+            F.col("n_docs").cast("long").alias("n"),
+            F.lit("").alias("redacted"),
+        )
     )
+    planted = spark.createDataFrame(PII_FIXTURE, ["k", "text"])
+    r = redact_pii(F.col("text"))
+    red = planted.select(
+        F.lit("redact").alias("family"),
+        "k",
+        r["n_total"].alias("n"),
+        r["redacted"].alias("redacted"),
+    )
+    return filt.unionByName(red)
 
 
 def q14_token_stats(spark, sf):
@@ -1310,6 +1332,17 @@ def _oracle_sql_for(
         _sql_str_list(STOPWORDS["de"]),
     )
     gstop = _sql_str_list(GOPHER_STOPWORDS)
+    from donut_spark.functions.redact import (
+        EMAIL_RE as _EMAIL_RE,
+        IPV4_RE as _IPV4_RE,
+        PHONE_RE as _PHONE_RE,
+        PII_FIXTURE,
+    )
+
+    pii_values = ", ".join(
+        "('" + k + "', '" + t.replace("'", "''") + "')"
+        for k, t in PII_FIXTURE
+    )
     sqls = {
         "q01_filter_project": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -1415,11 +1448,33 @@ def _oracle_sql_for(
                    levenshtein(c_name, 'Customer#000000001') AS dist
             FROM customer WHERE c_custkey <= 100
         """,
-        "q13_regex_filter": """
-            SELECT lang, count(*) AS n_docs FROM documents
+        "q13_regex_filter": f"""
+            SELECT 'filter' AS family, lang AS k,
+                   CAST(count(*) AS BIGINT) AS n, '' AS redacted
+            FROM documents
             WHERE regexp_matches(text, 'spark')
               AND NOT regexp_matches(text, 'dup')
             GROUP BY lang
+            UNION ALL
+            -- PII cascade replay (functions/redact.py): email → IPv4 →
+            -- phone, counts taken on each stage's input
+            SELECT 'redact' AS family, k,
+                   CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                        + len(regexp_extract_all(e_red, '{_IPV4_RE}'))
+                        + len(regexp_extract_all(i_red, '{_PHONE_RE}'))
+                        AS BIGINT) AS n,
+                   regexp_replace(i_red, '{_PHONE_RE}', '<PHONE>', 'g')
+                       AS redacted
+            FROM (
+                SELECT k, text,
+                       regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g')
+                           AS e_red,
+                       regexp_replace(
+                           regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>',
+                                          'g'),
+                           '{_IPV4_RE}', '<IP>', 'g') AS i_red
+                FROM (VALUES {pii_values}) t(k, text)
+            )
         """,
         "q14_token_stats": """
             SELECT lang,

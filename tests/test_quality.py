@@ -195,3 +195,51 @@ def test_repetition_path_is_jvm_only(spark):
     )
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan, plan
+
+
+def test_redact_pii_cases(spark):
+    """Typed placeholders, cascade counts, and non-matches pinned for
+    every fixture row (the same rows the q13 oracle replays in RE2)."""
+    from donut_spark.functions.redact import PII_FIXTURE, redact_pii
+
+    df = spark.createDataFrame(PII_FIXTURE, ["k", "text"])
+    out = {
+        r.k: r.g
+        for r in df.select("k", redact_pii(F.col("text")).alias("g")).collect()
+    }
+    assert out["plain"].n_total == 0
+    assert out["email1"].redacted == "contact us at <EMAIL> for details"
+    assert out["email2"].n_emails == 2
+    assert out["ip"].n_ips == 2 and "<IP>" in out["ip"].redacted
+    assert out["phone"].n_phones == 2
+    m = out["mixed"]
+    # root@10.0.0.1 is NOT an email (numeric TLD) — the IP inside it is
+    # caught by the IPv4 pass instead
+    assert (m.n_emails, m.n_ips, m.n_phones) == (0, 2, 1)
+    assert m.redacted == "mail root@<IP> from <IP> phone <PHONE>"
+    assert out["boundary"].n_total == 0
+    # placeholders are digit-free: re-redacting is a fixpoint
+    df2 = spark.createDataFrame(
+        [(k, g.redacted) for k, g in out.items()], ["k", "text"]
+    )
+    again = {
+        r.k: r.g
+        for r in df2.select(
+            "k", redact_pii(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert all(g.n_total == 0 for g in again.values())
+
+
+def test_redact_pii_is_jvm_only(spark):
+    from donut_spark.functions.redact import redact_pii
+
+    df = spark.createDataFrame([("a@b.co 1.2.3.4",)], ["text"])
+    plan = (
+        df.select(redact_pii(F.col("text")).alias("g"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, plan
