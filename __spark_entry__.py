@@ -273,7 +273,23 @@ def q13_regex_filter(spark, sf):
         r["n_total"].alias("n"),
         r["redacted"].alias("redacted"),
     )
-    return filt.unionByName(red)
+    from donut_spark.functions.quality import C4_FIXTURE, c4_clean
+
+    c4p = spark.createDataFrame(C4_FIXTURE, ["k", "text"])
+    c = c4_clean(F.col("text"))
+    c4_text = c4p.select(
+        F.lit("c4_text").alias("family"),
+        "k",
+        c["n_lines_kept"].alias("n"),
+        c["cleaned"].alias("redacted"),
+    )
+    c4_gate = c4p.select(
+        F.lit("c4_gate").alias("family"),
+        "k",
+        c["n_sentences"].alias("n"),
+        c["c4_keep"].cast("string").alias("redacted"),
+    )
+    return filt.unionByName(red).unionByName(c4_text).unionByName(c4_gate)
 
 
 def q14_token_stats(spark, sf):
@@ -1343,6 +1359,12 @@ def _oracle_sql_for(
         "('" + k + "', '" + t.replace("'", "''") + "')"
         for k, t in PII_FIXTURE
     )
+    from donut_spark.functions.quality import C4_FIXTURE
+
+    c4_values = ", ".join(
+        "('" + k + "', '" + t.replace("'", "''") + "')"
+        for k, t in C4_FIXTURE
+    )
     sqls = {
         "q01_filter_project": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -1474,6 +1496,47 @@ def _oracle_sql_for(
                                           'g'),
                            '{_IPV4_RE}', '<IP>', 'g') AS i_red
                 FROM (VALUES {pii_values}) t(k, text)
+            )
+            UNION ALL
+            -- C4 line-cleaning replay (functions/quality.py::c4_clean)
+            SELECT 'c4_text' AS family, k,
+                   CAST(len(kept) AS BIGINT) AS n,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                       AS redacted
+            FROM (
+                SELECT k,
+                       list_transform(list_filter(
+                           list_filter(string_split_regex(text, '\\n'),
+                                       l -> trim(l) <> ''),
+                           l -> regexp_matches(l, '[.!?"”]\\s*$')
+                             AND NOT regexp_matches(l, '(?i)javascript')
+                             AND len(list_filter(
+                                   string_split_regex(trim(l), '\\s+'),
+                                   x -> x <> '')) >= 3),
+                           l -> trim(l)) AS kept
+                FROM (VALUES {c4_values}) t(k, text)
+            )
+            UNION ALL
+            SELECT 'c4_gate' AS family, k,
+                   CAST(n_sent AS BIGINT) AS n,
+                   CAST(n_sent >= 5 AND NOT has_lorem AND NOT has_brace
+                        AS VARCHAR) AS redacted
+            FROM (
+                SELECT k,
+                       len(regexp_extract_all(coalesce(array_to_string(
+                           list_transform(list_filter(
+                               list_filter(string_split_regex(text, '\\n'),
+                                           l -> trim(l) <> ''),
+                               l -> regexp_matches(l, '[.!?"”]\\s*$')
+                                 AND NOT regexp_matches(l, '(?i)javascript')
+                                 AND len(list_filter(
+                                       string_split_regex(trim(l), '\\s+'),
+                                       x -> x <> '')) >= 3),
+                               l -> trim(l)), chr(10)), ''),
+                           '[.!?]')) AS n_sent,
+                       contains(lower(text), 'lorem ipsum') AS has_lorem,
+                       contains(text, '{{') AS has_brace
+                FROM (VALUES {c4_values}) t(k, text)
             )
         """,
         "q14_token_stats": """

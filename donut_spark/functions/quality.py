@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["GOPHER_STOPWORDS", "gopher_quality", "gopher_repetition"]
+__all__ = [
+    "GOPHER_STOPWORDS",
+    "C4_FIXTURE",
+    "c4_clean",
+    "gopher_quality",
+    "gopher_repetition",
+]
 
 # the paper's stop-word presence set (§A1.1: "contains at least two of
 # the following English words: the, be, to, of, and, that, have, with")
@@ -305,4 +311,91 @@ def gopher_repetition(
         (ok_dup_lines & ok_dup_line_chars & ok_top2 & ok_top3).alias(
             "repetition_pass"
         ),
+    )
+
+
+# terminal punctuation accepted by the C4 line rule (ASCII + the
+# typographic close-quote real pages end lines with)
+_C4_TERMINAL_RE = r'[.!?"”]\s*$'
+_C4_JS_RE = r"(?i)javascript"
+
+# planted corpus for the oracle gate (the synthetic test tables have no
+# punctuation at all, so every rule would be constant on them)
+C4_FIXTURE = [
+    (
+        "keeps",
+        "This page has proper prose sentences. Every line ends well!\n"
+        "Does it keep questions? Yes, and it keeps quotes too.\n"
+        "A fifth sentence closes the page.",
+    ),
+    ("unterminated", "this line never ends\nneither does this one\nShort. Done. Yes. Good. Fine."),
+    ("shortlines", "Ok.\nNo!\nWhy?\nThese three lines are too short to keep. "
+                   "But this one line is long enough and ends correctly. "
+                   "It even has several sentences. Four now. Five here."),
+    ("javascript", "Please enable JavaScript to view this page.\n"
+                   "Real content sentence one stays right here. And two. "
+                   "Also three. Then four. Finally five."),
+    ("lorem", "Lorem ipsum dolor sit amet, consectetur adipiscing elit. "
+              "Second sentence. Third one. Fourth too. Fifth closes."),
+    ("brace", "A config snippet { key: value } leaked into the page. "
+              "Sentence two. Three. Four. Five."),
+    ("toofew", "Only one kept sentence lives here."),
+    ("empty", "   "),
+]
+
+
+def c4_clean(
+    text: Column,
+    *,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> Column:
+    """The C4 cleaning rules (Raffel et al. 2019, §2.2) as Catalyst
+    expressions: keep only lines that end in terminal punctuation and
+    carry at least ``min_words_per_line`` words, drop lines mentioning
+    javascript, and gate the whole page on ≥ ``min_sentences``
+    sentences (approximated as terminal-punctuation count over the
+    KEPT text — the paper uses a sentence splitter; the approximation
+    is pinned by the oracle replay) and on the page-level lorem-ipsum /
+    curly-brace tells.
+
+    Struct fields: ``cleaned`` (kept lines, trimmed, ``\\n``-joined),
+    ``n_lines``, ``n_lines_kept``, ``n_sentences``, ``has_lorem``,
+    ``has_brace``, ``c4_keep``.
+    """
+    lines = F.filter(
+        F.split(text, r"\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    kept = F.transform(
+        F.filter(
+            lines,
+            lambda ln: ln.rlike(_C4_TERMINAL_RE)
+            & ~ln.rlike(_C4_JS_RE)
+            & (
+                F.size(
+                    F.filter(
+                        F.split(F.trim(ln), r"\s+"),
+                        lambda w: w != F.lit(""),
+                    )
+                )
+                >= min_words_per_line
+            ),
+        ),
+        lambda ln: F.trim(ln),
+    )
+    cleaned = F.concat_ws("\n", kept)
+    n_sentences = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    keep = (
+        (n_sentences >= min_sentences) & ~has_lorem & ~has_brace
+    )
+    return F.struct(
+        cleaned.alias("cleaned"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("c4_keep"),
     )

@@ -243,3 +243,41 @@ def test_redact_pii_is_jvm_only(spark):
     )
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan, plan
+
+
+def test_c4_clean_cases(spark):
+    """Every C4 rule pinned on its planted page: terminal-punctuation
+    line keep, short-line drop, javascript-line drop, lorem/brace page
+    gates, and the >=5-sentence page gate."""
+    from donut_spark.functions.quality import C4_FIXTURE, c4_clean
+
+    df = spark.createDataFrame(C4_FIXTURE, ["k", "text"])
+    out = {
+        r.k: r.g
+        for r in df.select("k", c4_clean(F.col("text")).alias("g")).collect()
+    }
+    k = out["keeps"]
+    assert k.c4_keep and k.n_lines_kept == 3 and k.n_sentences == 5
+    assert out["unterminated"].n_lines_kept == 1  # two unterminated drop
+    assert out["shortlines"].n_lines_kept == 1  # 'Ok.' 'No!' 'Why?' drop
+    j = out["javascript"]
+    assert j.n_lines_kept == 1 and "JavaScript" not in j.cleaned
+    assert not out["lorem"].c4_keep and out["lorem"].has_lorem
+    assert not out["brace"].c4_keep and out["brace"].has_brace
+    assert not out["toofew"].c4_keep  # 1 sentence < 5
+    e = out["empty"]
+    assert not e.c4_keep and e.cleaned == "" and e.n_lines == 0
+
+
+def test_c4_clean_is_jvm_only(spark):
+    from donut_spark.functions.quality import c4_clean
+
+    df = spark.createDataFrame([("A line. B line. C line.",)], ["text"])
+    plan = (
+        df.select(c4_clean(F.col("text")).alias("g"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, plan
