@@ -326,3 +326,69 @@ def test_spark_submit_contamination_sweep(spark, tmp_path):
     assert summary["corpus_docs"] == 3 and summary["flagged_docs"] == 2
     assert summary["clean_docs"] == 1
     assert summary["residual_cached_rdds"] == 0  # leak audit
+
+
+def test_spark_submit_curate_pipeline(spark, tmp_path):
+    """The composed curation job (PII redact → C4 clean → Gopher
+    quality + repetition gates) ships via spark-submit with a scrubbed
+    PYTHONPATH; each planted doc is kept or rejected by exactly the
+    intended gate, and rejected rows carry every per-rule flag."""
+    lines = [
+        "The quick brown fox jumps over that lazy dog with style and grace today.",
+        "Meanwhile the river flows quietly past an old mill near the village square.",
+        "Every miller watches his water wheel turn through the long afternoon hours.",
+        "Some travelers have stopped to rest beside the shaded path for a while.",
+        "They will be of good cheer once the warm supper has finally arrived.",
+    ]
+    good = "\n".join(lines)
+    rows = [
+        ("good", good),
+        ("pii", good.replace("today.", "today, email alice@example.com.")),
+        ("shorty", "Too short to keep around."),
+        ("loopy", " ".join(["spam ham"] * 40) + ". " + good),
+        ("bracey", good + "\nA snippet { leaked } into the page here today."),
+    ]
+    src = str(tmp_path / "curate_in")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "package.py")],
+        capture_output=True, text=True, check=True,
+    )
+    zip_path = out.stdout.strip().splitlines()[-1]
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    out_dir = str(tmp_path / "curate_out")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_HOME")
+    }
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            os.path.join(REPO, "submit", "run_curate.py"),
+            "--input", src,
+            "--output", out_dir,
+        ],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert '"kept": 2' in proc.stdout, proc.stdout[-2000:]
+
+    clean = {r.doc_id: r for r in spark.read.parquet(f"{out_dir}/clean").collect()}
+    rej = {r.doc_id: r for r in spark.read.parquet(f"{out_dir}/rejected").collect()}
+    assert set(clean) == {"good", "pii"} and set(rej) == {
+        "shorty", "loopy", "bracey",
+    }
+    # the PII doc survives WITH its email redacted
+    assert "<EMAIL>" in clean["pii"].text and clean["pii"].n_pii == 1
+    assert "alice@example.com" not in clean["pii"].text
+    # each rejection is attributed to its gate, rule-by-rule
+    assert not rej["bracey"].c4_keep and rej["bracey"].gopher_pass
+    assert not rej["loopy"].repetition_pass and rej["loopy"].c4_keep
+    assert not rej["shorty"].ok_words
