@@ -2,8 +2,10 @@
 
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` — one named query per implemented operator family from
-SURVEY.md §2 (+ the training-data-pipeline operators).
-``oracle_sql()`` — DuckDB twins for ALL 53 queries, including the
+SURVEY.md §2 (+ the training-data-pipeline operators); exactly 50
+registered entries (the driver gate's window), new assertions fold
+into existing queries as tagged unions / extra columns.
+``oracle_sql()`` — DuckDB twins for ALL 50 queries, including the
 LSH/ANN family (committed fingerprint/hyperplane/IVF-codebook fixtures
 let SQL brute-force or independently replay the blocking — even the
 pruned-probe q41, whose frozen codebook makes cell assignment and probe
@@ -739,8 +741,14 @@ def q29_multimodal(spark, sf):
     frame that decode_frames pixel-decodes through core/vp8.py, and the
     oracle recomputes each frame's luma checksum from the MB-constant
     arithmetic — no VP8 code on the SQL side (the constant-per-MB
-    regime makes the lossy roundtrip bit-exact). meta_ok pins parsed ==
-    claimed for every format."""
+    regime makes the lossy roundtrip bit-exact). wav rows (round-5
+    AUDIO modality) are verified end-to-end the same way: real RIFF
+    PCM encode (core/wav.py) → real chunk-walk decode → the oracle
+    recomputes the parsed sample rate, channel count, and the
+    unsigned-sample checksum from the ref arithmetic with no RIFF code
+    in SQL; the frame leg segments the stream into real WAV clips whose
+    summed checksums must equal the whole stream's. meta_ok pins
+    parsed == claimed for every format."""
     from donut_spark.operators.multimodal import (
         decode_and_featurize,
         decode_frames,
@@ -769,7 +777,7 @@ def q29_multimodal(spark, sf):
         F.col("meta.height").alias("mh"),
     )
     png, jpg = F.col("fmt") == "png", F.col("fmt") == "jpeg"
-    webm = F.col("fmt") == "webm"
+    webm, wav = F.col("fmt") == "webm", F.col("fmt") == "wav"
     return (
         feats.join(F.broadcast(meta_dim), "media_ref")
         .join(fagg, "media_ref")
@@ -783,6 +791,8 @@ def q29_multimodal(spark, sf):
             F.when(jpg, F.col("height")).alias("jpg_h"),
             F.when(webm, F.col("width")).alias("webm_w"),
             F.when(webm, F.col("height")).alias("webm_h"),
+            F.when(wav, F.col("width")).alias("wav_rate"),
+            F.when(wav, F.col("height")).alias("wav_ch"),
             (
                 (F.col("width") == F.col("mw")) & (F.col("height") == F.col("mh"))
             )
@@ -1926,7 +1936,7 @@ def _oracle_sql_for(
             FROM reach GROUP BY v
         """,
         # PNG rows verified for real: the oracle re-derives format
-        # choice (num % 3), encoded dimensions (8 + 7num % 24 ×
+        # choice (num % 4), encoded dimensions (8 + 7num % 24 ×
         # 8 + 13num % 24) and the pixel checksum (sum over x,y,c of
         # (7x + 13y + 29c + num) mod 256) from the ref string alone —
         # the Spark side got them by DECODING the PNG bytes it encoded,
@@ -1940,22 +1950,29 @@ def _oracle_sql_for(
               WHERE s.kind = 'media'
             ), dims AS (
               SELECT media_ref, num,
-                     CASE WHEN num % 3 = 1
+                     CASE WHEN num % 4 = 1
                           THEN CAST(8 + (num * 7) % 24 AS INT) END AS png_w,
-                     CASE WHEN num % 3 = 1
+                     CASE WHEN num % 4 = 1
                           THEN CAST(8 + (num * 13) % 24 AS INT) END AS png_h,
-                     -- jpeg dims (num % 3 = 0): the featurizer gets
+                     -- jpeg dims (num % 4 = 0): the featurizer gets
                      -- these from the REAL baseline grayscale decode
-                     CASE WHEN num % 3 = 0
+                     CASE WHEN num % 4 = 0
                           THEN CAST(16 + (num * 11) % 48 AS INT) END AS jpg_w,
-                     CASE WHEN num % 3 = 0
+                     CASE WHEN num % 4 = 0
                           THEN CAST(16 + (num * 17) % 48 AS INT) END AS jpg_h,
-                     -- webm EBML video-track dims (num % 3 = 2): parsed
+                     -- webm EBML video-track dims (num % 4 = 2): parsed
                      -- back out of the real Matroska header
-                     CASE WHEN num % 3 = 2
+                     CASE WHEN num % 4 = 2
                           THEN CAST(64 + (num * 23) % 512 AS INT) END AS webm_w,
-                     CASE WHEN num % 3 = 2
-                          THEN CAST(64 + (num * 29) % 512 AS INT) END AS webm_h
+                     CASE WHEN num % 4 = 2
+                          THEN CAST(64 + (num * 29) % 512 AS INT) END AS webm_h,
+                     -- wav audio params (num % 4 = 3): parsed back out
+                     -- of the real RIFF fmt chunk by the featurizer
+                     CASE WHEN num % 4 = 3
+                          THEN CAST(8000 + (num * 41) % 36000 AS INT)
+                          END AS wav_rate,
+                     CASE WHEN num % 4 = 3
+                          THEN CAST(1 + num % 2 AS INT) END AS wav_ch
               FROM (SELECT media_ref,
                            -- TRY_CAST: DuckDB may evaluate this
                            -- projection eagerly on rows the kind-filter
@@ -2012,23 +2029,44 @@ def _oracle_sql_for(
                 ON i.i < 1 + (d.num * 7) % 120 AND i.i % 30 = 0
               JOIN generate_series(0, 35) mx(mx) ON mx.mx * 16 < d.webm_w
               JOIN generate_series(0, 35) my(my) ON my.my * 16 < d.webm_h
-              WHERE d.num % 3 = 2
+              WHERE d.num % 4 = 2
+              GROUP BY d.media_ref
+            ), wpix AS (
+              -- wav sample checksum from first principles: 16-bit PCM
+              -- value(i) = (31·i + 7·num) mod 65536 over channels ×
+              -- n_frames interleaved samples — no RIFF code in SQL.
+              -- The frame leg segments the stream into every_n-frame
+              -- clips (a partition of the samples), so the summed clip
+              -- checksums equal the whole-stream checksum and n_key is
+              -- the clip count ceil(n_frames / 30)
+              SELECT d.media_ref,
+                     CAST(sum((i.i * 31 + d.num * 7) % 65536) AS BIGINT)
+                         AS samp_sum,
+                     CAST(ceil((64 + (any_value(d.num) * 37) % 512) / 30.0)
+                          AS BIGINT) AS n_clips
+              FROM dims d
+              JOIN generate_series(0, 1151) i(i)
+                ON i.i < (1 + d.num % 2) * (64 + (d.num * 37) % 512)
+              WHERE d.num % 4 = 3
               GROUP BY d.media_ref
             )
             SELECT dims.media_ref,
                    CAST(8 AS INT) AS feat_dim,
                    png_w, png_h,
-                   coalesce(pix.pix_sum, jpix.pix_sum) AS pix_sum,
-                   jpg_w, jpg_h, webm_w, webm_h,
+                   coalesce(pix.pix_sum, jpix.pix_sum, wpix.samp_sum)
+                       AS pix_sum,
+                   jpg_w, jpg_h, webm_w, webm_h, wav_rate, wav_ch,
                    CAST(1 AS INT) AS meta_ok,
-                   -- a still image IS its single sampled frame
-                   coalesce(vpix.frame_pix_sum, pix.pix_sum, jpix.pix_sum)
-                       AS frame_pix_sum,
-                   coalesce(vpix.n_key, 1) AS n_key
+                   -- a still image IS its single sampled frame; an
+                   -- audio stream's clips partition it exactly
+                   coalesce(vpix.frame_pix_sum, wpix.samp_sum,
+                            pix.pix_sum, jpix.pix_sum) AS frame_pix_sum,
+                   coalesce(vpix.n_key, wpix.n_clips, 1) AS n_key
             FROM dims
             LEFT JOIN pix ON dims.media_ref = pix.media_ref
             LEFT JOIN jpix ON dims.media_ref = jpix.media_ref
             LEFT JOIN vpix ON dims.media_ref = vpix.media_ref
+            LEFT JOIN wpix ON dims.media_ref = wpix.media_ref
         """,
         "q46_boilerplate_strip": """
             SELECT doc_id, text AS main_text

@@ -186,23 +186,48 @@ def _png_pixels(num: int, width: int, height: int) -> bytes:
     return grid.astype(np.uint8).tobytes()
 
 
+def _wav_params(num: int) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_frames) for wav rows — closed-form in
+    the ref number so the q29 oracle recomputes them without any RIFF
+    code. The MEDIA_SCHEMA meta fields are typed for images, so audio
+    reuses them as documented: width = sample_rate, height = channels."""
+    return 8000 + (num * 41) % 36000, 1 + num % 2, 64 + (num * 37) % 512
+
+
+def _wav_sample_bytes(num: int, total: int) -> bytes:
+    """Interleaved 16-bit PCM: value(i) = (31·i + 7·num) mod 65536 as
+    little-endian uint16 (same bit pattern as the signed samples a
+    player sees) — the unsigned sum is the SQL-recomputable checksum."""
+    import numpy as np
+
+    return (
+        ((np.arange(total, dtype=np.int64) * 31 + num * 7) % 65536)
+        .astype("<u2")
+        .tobytes()
+    )
+
+
 def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
     """Deterministic media table for every media_ref in a spans table.
 
-    PNG-format rows (``num % 3 == 1``) carry REAL truecolor PNG bytes
+    PNG-format rows (``num % 4 == 1``) carry REAL truecolor PNG bytes
     (``core/png.py``) of small seed-derived dimensions, with metadata
     matching the true encoded dims — so downstream decode is a real
-    codec exercise. jpeg rows (``num % 3 == 0``) carry REAL baseline
+    codec exercise. jpeg rows (``num % 4 == 0``) carry REAL baseline
     grayscale JPEGs (``core/jpeg.py`` — flat 8×8 blocks, bit-exact
     lossy roundtrip) whose decoded dims and pixels the q29 oracle
-    recomputes analytically. webm rows (``num % 3 == 2``) carry a REAL
+    recomputes analytically. webm rows (``num % 4 == 2``) carry a REAL
     EBML/Matroska container (``core/ebml.py`` — DocType webm, video
     TrackEntry with PixelWidth/PixelHeight matching the claimed
     metadata) whose SimpleBlocks hold REAL VP8 key frames at the
     key-frame cadence (``core/vp8.py`` — constant-per-MB luma, exact
     roundtrip) and tag-marked inter-frame stand-ins between them.
-    Everything is derived from the ref string — stable across runs,
-    partitionings, and cluster sizes.
+    wav rows (``num % 4 == 3``, the AUDIO modality) carry REAL RIFF/WAVE
+    16-bit PCM (``core/wav.py`` — fmt + LIST/INFO + data chunk walk)
+    with ref-arithmetic samples, so the decoded sample checksum is
+    SQL-recomputable; meta reuses width = sample_rate, height =
+    channels. Everything is derived from the ref string — stable across
+    runs, partitionings, and cluster sizes.
     """
     refs = (
         spans_df.select(F.explode("spans").alias("s"))
@@ -217,12 +242,13 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
         from ..core.ebml import encode_webm_header
         from ..core.jpeg import encode_jpeg_gray
         from ..core.png import encode_png
+        from ..core.wav import encode_wav
 
         for pdf in batches:
             rows = []
             for ref in pdf["media_ref"]:
                 num = _ref_num(ref)
-                fmt = ["jpeg", "png", "webm"][num % 3]
+                fmt = ["jpeg", "png", "webm", "wav"][num % 4]
                 seed = zlib.crc32(ref.encode())
                 if fmt == "png":
                     w, h = _png_dims(num)
@@ -241,6 +267,21 @@ def synth_media_table(spark: SparkSession, spans_df: DataFrame) -> DataFrame:
                         comment=(seed.to_bytes(4, "big") * 16)[:64],
                     )
                     meta = {"format": fmt, "width": w, "height": h, "n_frames": 1}
+                elif fmt == "wav":
+                    rate, channels, n_frames = _wav_params(num)
+                    content = encode_wav(
+                        _wav_sample_bytes(num, channels * n_frames),
+                        rate,
+                        channels=channels,
+                        bits=16,
+                        info=(seed.to_bytes(4, "big") * 4)[:13],
+                    )
+                    meta = {
+                        "format": fmt,
+                        "width": rate,
+                        "height": channels,
+                        "n_frames": n_frames,
+                    }
                 else:
                     w, h, n_frames = _webm_dims_for(num)
                     # structurally real Matroska: one SimpleBlock per
@@ -294,6 +335,7 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
         from ..core.ebml import EBML_MAGIC, webm_dims
         from ..core.jpeg import JPEG_SOI, decode_jpeg_gray, jpeg_dims
         from ..core.png import PNG_SIGNATURE, decode_png
+        from ..core.wav import RIFF_MAGIC, decode_wav
 
         for pdf in batches:
             rows = []
@@ -324,6 +366,35 @@ def decode_and_featurize(media_df: DataFrame, feat_dim: int = 8) -> DataFrame:
                     rows.append((ref, w, h, feats, int(arr.sum())))
                     continue
                 raw = bytes(content)
+                # AUDIO: real RIFF/WAVE PCM decode — width carries the
+                # parsed sample rate, height the channel count (the
+                # MEDIA_SCHEMA reuse _wav_params documents), pix_sum the
+                # unsigned-sample checksum the q29 oracle recomputes,
+                # and features are per-band mean |amplitude| (feat_dim
+                # time bands, /32768). Malformed/non-PCM streams fall
+                # through to the stub path, never crash.
+                if raw.startswith(RIFF_MAGIC):
+                    try:
+                        rate, channels, bits, frames = decode_wav(raw)
+                        if bits == 16:
+                            u = np.frombuffer(frames, dtype="<u2")
+                            signed = u.astype(np.int32)
+                            signed[signed >= 32768] -= 65536
+                            amp = np.abs(signed) / 32768.0
+                        else:  # 8-bit PCM is unsigned, midpoint 128
+                            u = np.frombuffer(frames, dtype=np.uint8)
+                            amp = np.abs(u.astype(np.int32) - 128) / 128.0
+                        bands = np.array_split(amp, feat_dim)
+                        feats = [
+                            float(b.mean()) if b.size else 0.0
+                            for b in bands
+                        ]
+                        rows.append(
+                            (ref, rate, channels, feats, int(u.sum()))
+                        )
+                        continue
+                    except (ValueError, NotImplementedError):
+                        pass
                 # JPEG: real baseline grayscale decode (pix_sum + band
                 # features over decoded pixels); scan-less or color
                 # streams degrade to SOF header dims, then to meta.
@@ -455,6 +526,8 @@ def resize_media(
             encode_jpeg_header,
         )
         from ..core.png import PNG_SIGNATURE, decode_png, encode_png, resize_nearest
+        from ..core.wav import RIFF_MAGIC, decode_wav, encode_wav
+        from ..core.wav import resample_nearest as wav_resample
 
         for pdf in batches:
             rows = []
@@ -476,6 +549,27 @@ def resize_media(
                         (ref, encode_png(resized, width, height), width, height)
                     )
                     continue
+                if raw.startswith(RIFF_MAGIC):
+                    # AUDIO resize = nearest resample to width*height
+                    # FRAMES (the fixed-size-model-input analog of a
+                    # spatial resize); output is a real WAV at the same
+                    # rate, so chained featurize still parses it
+                    try:
+                        rate, channels, bits, frames = decode_wav(raw)
+                        resampled = wav_resample(
+                            frames, channels, bits, width * height
+                        )
+                        rows.append(
+                            (
+                                ref,
+                                encode_wav(resampled, rate, channels, bits),
+                                width,
+                                height,
+                            )
+                        )
+                        continue
+                    except (ValueError, NotImplementedError):
+                        pass
                 if raw.startswith(JPEG_SOI):
                     # REAL grayscale transcode: decode → nearest → encode
                     try:
@@ -538,6 +632,7 @@ def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
         from ..core.ebml import EBML_MAGIC, webm_frames
         from ..core.jpeg import JPEG_SOI
         from ..core.png import PNG_SIGNATURE
+        from ..core.wav import RIFF_MAGIC, decode_wav, encode_wav
 
         for pdf in batches:
             rows = []
@@ -550,6 +645,29 @@ def sample_frames(media_df: DataFrame, every_n: int = 10) -> DataFrame:
                     # content through
                     rows.append((ref, 0, raw))
                     continue
+                if raw.startswith(RIFF_MAGIC):
+                    # AUDIO frame sampling = segmentation: one output
+                    # row per every_n-frame CHUNK (clips partition the
+                    # stream), each a self-describing real WAV so
+                    # decode_frames can verify it from bytes alone
+                    try:
+                        rate, channels, bits, frames = decode_wav(raw)
+                        block = channels * (bits // 8)
+                        n = len(frames) // block if block else 0
+                        for start in range(0, max(n, 1), every_n):
+                            chunk = frames[
+                                start * block : (start + every_n) * block
+                            ]
+                            rows.append(
+                                (
+                                    ref,
+                                    start,
+                                    encode_wav(chunk, rate, channels, bits),
+                                )
+                            )
+                        continue
+                    except (ValueError, NotImplementedError):
+                        pass
                 if raw.startswith(EBML_MAGIC):
                     try:
                         demuxed = webm_frames(raw)
@@ -591,6 +709,7 @@ def decode_frames(frames_df: DataFrame) -> DataFrame:
         from ..core.jpeg import JPEG_SOI, decode_jpeg_gray
         from ..core.png import PNG_SIGNATURE, decode_png
         from ..core.vp8 import VP8_KEY_START, decode_vp8_key_frame
+        from ..core.wav import RIFF_MAGIC, decode_wav
 
         for pdf in batches:
             rows = []
@@ -605,6 +724,15 @@ def decode_frames(frames_df: DataFrame) -> DataFrame:
                     elif raw.startswith(JPEG_SOI):
                         w, h, gray = decode_jpeg_gray(raw)
                         s = int(np.frombuffer(gray, np.uint8).sum())
+                    elif raw.startswith(RIFF_MAGIC):
+                        # audio clip: width = sample rate, height =
+                        # frames in the clip, pix_sum = unsigned-sample
+                        # checksum (the q29 oracle's wav arithmetic)
+                        rate, channels, bits, frames = decode_wav(raw)
+                        block = channels * (bits // 8)
+                        w, h = rate, len(frames) // block if block else 0
+                        dt = "<u2" if bits == 16 else np.uint8
+                        s = int(np.frombuffer(frames, dtype=dt).sum())
                     elif len(raw) >= 10 and raw[3:6] == VP8_KEY_START:
                         w, h, luma = decode_vp8_key_frame(raw)
                         s = int(np.frombuffer(luma, np.uint8).sum())

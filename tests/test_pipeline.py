@@ -793,6 +793,17 @@ def test_multimodal_resize_and_frame_sample(spark):
             ow, oh, orgb = decode_png(originals[r.media_ref])
             assert rgb == resize_nearest(orgb, ow, oh, 128, 96)
             n_png += 1
+        elif fmts[r.media_ref] == "wav":
+            # audio resize = REAL nearest resample to width*height
+            # frames at the original rate (core/wav.py)
+            from donut_spark.core.wav import decode_wav, wav_info
+
+            o_rate, o_ch, o_bits, o_frames = decode_wav(
+                originals[r.media_ref]
+            )
+            rate, ch, bits, nf = wav_info(bytes(r.content))
+            assert (rate, ch, bits) == (o_rate, o_ch, o_bits)
+            assert nf == 128 * 96
         else:
             # jpeg/webm outputs are header-real at the TARGET dims with
             # an area-scaled stub payload inside
