@@ -213,6 +213,33 @@ def main() -> None:
     results["pdf_parse"] = round(pdf_best, 3)
     pdf_docs_per_sec = pdf_agg["docs"] / pdf_best
 
+    # media-decode throughput (round-5 audio session): run the REAL
+    # codecs — PNG unfilter, JPEG Huffman+IDCT, WAV PCM parse, EBML
+    # dims — over every media_ref of the first 500 battery docs and
+    # checksum the decodes. Map-only Arrow kernel; excluded from
+    # `total` like the other modality legs.
+    from donut_spark.operators.multimodal import (
+        decode_and_featurize,
+        synth_media_table,
+    )
+
+    media_src = load_spans(spark, sf_dir).filter(
+        F.col("doc_id").cast("long") < 500
+    )
+    media = synth_media_table(spark, media_src)
+    media = media.repartition(cpus).persist()
+    n_media = media.count()  # synth excluded from the timed leg
+    media_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        decode_and_featurize(media).agg(
+            F.count("*"), F.sum("pix_sum")
+        ).collect()
+        media_best = min(media_best, time.perf_counter() - t0)
+    results["media_decode"] = round(media_best, 3)
+    media_per_sec = n_media / media_best
+    media.unpersist()
+
     # streaming ingest legs (round-4 verdict item 7): sustained docs/s
     # for the stateless contamination filter and the watermark-bounded
     # dedup, plus the per-batch state-row series evidencing bounded
@@ -243,7 +270,7 @@ def main() -> None:
         for k in results
         if not k.endswith("_probe_only")
         and not k.startswith("skew_")
-        and k != "pdf_parse"
+        and k not in ("pdf_parse", "media_decode")
     )
     print(
         json.dumps(
@@ -260,6 +287,8 @@ def main() -> None:
                 "roundtrip_rate": float(agg["rt"]),
                 "skew_exact_match": skew_match,
                 "pdf_docs_per_sec": round(pdf_docs_per_sec, 2),
+                "media_objects": int(n_media),
+                "media_decodes_per_sec": round(media_per_sec, 2),
                 "pdf_exact_match_rate": float(pdf_agg["em"]),
                 "streaming": streaming,
                 "scaling": scaling,

@@ -10,6 +10,11 @@ tests/test_ws_parity.py for the shingle kernel.
 Twin subtleties encoded here on purpose:
 * Java/Spark ``trim`` strips ASCII SPACE only (not tabs, not NBSP) —
   a Python twin using ``str.strip()`` would diverge on ``" \\tfoo"``;
+* Java's ``\\s`` is ASCII-only IN THE LINE REGEXES TOO — the first run
+  of this fuzz caught a twin written with Python's unicode-aware
+  ``\\s``: ``'...\\xa0'`` (ellipsis + NBSP) is an ellipsis-ended line
+  to Python but not to the JVM or to the RE2 oracle replay, which
+  agree with each other (the engine-wide Java-whitespace convention);
 * rounding is HALF_UP on the shortest decimal repr (Spark round /
   BigDecimal), not Python's banker's rounding;
 * the modal-gram tie-break is the lexicographically smallest gram, and
@@ -43,8 +48,13 @@ def _py_quality(text: str) -> dict:
     stop_hits = sum(1 for w in words if w.lower() in GOPHER_STOPWORDS)
     alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
     lines = text.split("\n")
-    bullets = sum(1 for ln in lines if re.search(r"^\s*[-*•‣▪]", ln))
-    ellipsis = sum(1 for ln in lines if re.search(r"(\.\.\.|…)\s*$", ln))
+    ws = "[ \\t\\n\\x0b\\f\\r]"  # the Java/RE2 ASCII \s class
+    bullets = sum(
+        1 for ln in lines if re.search(f"^{ws}*[-*•‣▪]", ln)
+    )
+    ellipsis = sum(
+        1 for ln in lines if re.search(f"(\\.\\.\\.|…){ws}*$", ln)
+    )
     out = {"n_words": n, "stop_hits": stop_hits}
     if n:
         out["mean_word_len"] = _half_up(sum(len(w) for w in words) / n)
