@@ -181,3 +181,52 @@ def test_audio_modality_end_to_end(spark):
     )
     out = decode_and_featurize(poison).first()
     assert out.pix_sum is None  # stub path, no crash
+
+
+def test_streaming_media_ingest_matches_batch(spark, tmp_path):
+    """Media landing zone: decode_and_featurize is a stateless Arrow
+    kernel, so it runs UNCHANGED over a file stream of binary media
+    rows and produces exactly the batch rows — the audio/image twin of
+    the PDF ingest stream."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from donut_spark.operators.multimodal import (
+        decode_and_featurize,
+        synth_media_table,
+    )
+    from donut_spark.sources.fixtures import load_spans
+    from tests.conftest import SF_SMALL
+
+    spans = load_spans(spark, SF_SMALL).filter(
+        F.col("doc_id").cast("long") < 40
+    )
+    media = synth_media_table(spark, spans)
+    batch = {
+        r.media_ref: (r.width, r.height, r.pix_sum)
+        for r in decode_and_featurize(media).collect()
+    }
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    media.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream = spark.readStream.schema(media.schema).parquet(src + "/*")
+    q = (
+        decode_and_featurize(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r.media_ref: (r.width, r.height, r.pix_sum)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch
+    # all four modalities were actually present in the staged batch
+    fmts = {r.meta.format for r in media.collect()}
+    assert fmts == {"png", "jpeg", "webm", "wav"}
