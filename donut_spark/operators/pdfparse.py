@@ -26,6 +26,7 @@ from typing import Iterator, List, Tuple
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -300,6 +301,27 @@ def _reassemble_documents(parsed: DataFrame) -> DataFrame:
     )
 
 
+PDF_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField(
+            "extracted",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("kind", StringType()),
+                        StructField("text", StringType()),
+                        StructField("media_ref", StringType()),
+                        StructField("offset", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("_error", StringType()),
+    ]
+)
+
+
 def pdf_documents_from_table(pdf_df: DataFrame) -> DataFrame:
     """Production-input twin of :func:`pdf_extract_documents`: a table
     of REAL PDFs ``(doc_id, content binary [, passthrough cols])`` →
@@ -310,25 +332,63 @@ def pdf_documents_from_table(pdf_df: DataFrame) -> DataFrame:
     quarantine/ and never dies on one (S11). Passthrough columns (e.g.
     the resume path's ``_bucket``) ride the doc_id join; the PDF bytes
     are dropped from the output.
+
+    Scale/plan shape (round-6): ONE map-only Arrow kernel parses each
+    document exactly once and emits the finished per-doc row — a PDF's
+    spans already live in its own input row, so reading order is
+    reassembled inside the kernel instead of through a
+    collect_list/array_sort aggregation. The old shape branched the
+    span-level parse into a reassembly agg AND an error-row filter,
+    which re-evaluated the Python parse per branch (two MapInPandas
+    nodes, every byte parsed twice) and paid a doc_id exchange for the
+    agg; this one parses once with zero shuffles (plans/r06/
+    pdf_parse_{before,after}.txt: 2 MapInPandas + 1 Exchange → 1
+    MapInPandas + 0 Exchange).
     """
-    parsed = extract_pdf_spans(pdf_df.select("doc_id", "content"))
-    errs = parsed.filter(F.col("kind") == "error").select(
-        "doc_id", F.col("text").alias("_error")
+
+    def parse_docs(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..core.pdf import parse_pdf_spans
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    pages = parse_pdf_spans(bytes(content))
+                except ValueError as e:
+                    rows.append((doc_id, None, str(e)))
+                    continue
+                spans = []
+                seq = 0
+                for spanlist in pages:
+                    for kind, _x, _y, _size, payload in spanlist:
+                        if kind == "media":
+                            spans.append(
+                                {
+                                    "kind": kind,
+                                    "text": "",
+                                    "media_ref": payload or "",
+                                    "offset": seq,
+                                }
+                            )
+                        else:
+                            spans.append(
+                                {
+                                    "kind": kind,
+                                    "text": payload or "",
+                                    "media_ref": "",
+                                    "offset": seq,
+                                }
+                            )
+                        seq += 1
+                rows.append((doc_id, spans, None))
+            yield pd.DataFrame(rows, columns=["doc_id", "extracted", "_error"])
+
+    parsed = pdf_df.select("doc_id", "content").mapInPandas(
+        parse_docs, schema=PDF_DOCS_SCHEMA
     )
-    base = pdf_df.drop("content")
-    empty = (
-        "CAST(array() AS array<struct<kind:string,text:string,"
-        "media_ref:string,offset:int>>)"
-    )
-    return (
-        base.join(_reassemble_documents(parsed), "doc_id", "left")
-        .join(errs, "doc_id", "left")
-        # a VALID zero-span PDF parses to no rows at all: that's an
-        # empty document, not a null one (and not a quarantine case)
-        .withColumn(
-            "extracted",
-            F.when(F.col("_error").isNotNull(), F.col("extracted")).otherwise(
-                F.coalesce("extracted", F.expr(empty))
-            ),
-        )
-    )
+    extra = [c for c in pdf_df.columns if c not in ("doc_id", "content")]
+    if not extra:
+        return parsed
+    return pdf_df.drop("content").join(parsed, "doc_id", "left")
