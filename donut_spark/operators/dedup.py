@@ -403,7 +403,12 @@ def connected_components(
 
 
 def _shingle_explode(
-    df: DataFrame, text_col: str, key: str, n: int, distinct: bool = True
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    n: int,
+    distinct: bool = True,
+    decluster: bool = True,
 ) -> DataFrame:
     """(k, sh) rows: word n-gram shingles per document, exploded
     JVM-side (regex split + transform + array_distinct — no Python).
@@ -426,8 +431,22 @@ def _shingle_explode(
     # empties, so "a b " shingles as "a b " ≠ "a b") and give a
     # whitespace-ONLY doc a single-space shingle that would collide with
     # every other whitespace-only doc. Words are what shingle: drop ''.
-    words = df.select(
-        F.col(key).alias("k"),
+    #
+    # ``decluster``: the split/explode multiplies each input row into
+    # ~n_tokens rows of derived work, so a narrow source (one small
+    # parquet file → 1-2 scan splits) would run the whole shingle pass
+    # on 1-2 cores (guide §2.5 input skew). maybe_decluster adds a
+    # cheap pre-explode exchange ONLY when the scan is narrower than
+    # the cluster; at corpus scale it is a no-op. Callers whose key is
+    # constant (benchmark shingle sets) must pass False — hashing a
+    # constant key would collapse to ONE partition.
+    src = df.select(F.col(key).alias("k"), F.col(text_col))
+    if decluster:
+        from ..plans.skew import maybe_decluster
+
+        src = maybe_decluster(src, "k")
+    words = src.select(
+        "k",
         F.filter(
             F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
         ).alias("_w"),
@@ -559,7 +578,11 @@ def benchmark_shingle_set(
     # stands in so no real key column is required of the benchmark
     rows = (
         _shingle_explode(
-            benchmark.select(F.lit(0).alias("_k"), text_col), text_col, "_k", n
+            benchmark.select(F.lit(0).alias("_k"), text_col),
+            text_col,
+            "_k",
+            n,
+            decluster=False,  # constant key would hash to ONE partition
         )
         .select("sh")
         .distinct()
@@ -592,7 +615,13 @@ def contamination_overlap(
     overlapping shingles.
     """
     c_sh = _shingle_explode(corpus, text_col, key, n, distinct=False)
-    b_sh = _shingle_explode(benchmark, text_col, key, n).select("sh").distinct()
+    # benchmark side: orders of magnitude smaller, skip the decluster
+    # probe/exchange (its distinct shuffle spreads the work anyway)
+    b_sh = (
+        _shingle_explode(benchmark, text_col, key, n, decluster=False)
+        .select("sh")
+        .distinct()
+    )
     return (
         c_sh.join(F.broadcast(b_sh), "sh")
         .groupBy(F.col("k").alias(key))
@@ -654,9 +683,15 @@ def duplicated_passages(
     from pyspark.sql import Window
 
     from ..plans.cache import attach_persisted
+    from ..plans.skew import maybe_decluster
 
-    words = df.select(
-        F.col(key).alias("k"),
+    # decluster the narrow-scan case (guide §2.5): the explode derives
+    # ~n_tokens rows of work per document, so a 1-2-split local scan
+    # would shingle the whole corpus on 1-2 cores; no-op at corpus
+    # scale where the scan is already wide (see _shingle_explode).
+    src = maybe_decluster(df.select(F.col(key).alias("k"), F.col(text_col)), "k")
+    words = src.select(
+        "k",
         F.filter(
             F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
         ).alias("_w"),
