@@ -486,6 +486,37 @@ def ngram_jaccard_pairs(
     default (None = exact); audit what would drop with
     :func:`hot_shingles` before enabling.
     """
+    from ..plans.cache import attach_persisted
+
+    handles: list = []
+    if candidates is not None and max_shingle_df is None:
+        # Restrict the corpus to candidate ENDPOINT documents before a
+        # single token is shingled: every downstream consumer (both
+        # self-join sides and the |A|/|B| size aggregation) only ever
+        # reads shingles of docs appearing in a candidate pair, and the
+        # endpoint set is orders of magnitude smaller than the corpus
+        # in the LSH-candidate regime this mode exists for. The old
+        # shape applied the pair join AFTER a full-corpus explode, so
+        # the explode (and the sizes agg) processed every document —
+        # and the r-side join shuffled the full corpus shingle set.
+        # (Skipped when a df-cut is requested: max_shingle_df counts
+        # document frequency over the WHOLE corpus by contract.)
+        #
+        # The candidate frame is persisted first: it now has THREE plan
+        # references (the endpoint broadcast + the pair probe) and is
+        # typically an LSH discovery output whose banded self-join
+        # would otherwise re-run per reference (measured: the q26
+        # candidate agg re-evaluated 3-4x). Handle rides the result —
+        # release with ``plans.cache.release_persisted(result)`` (any
+        # handles already attached to ``candidates`` ride along too).
+        handles.extend(getattr(candidates, "_donut_persisted", ()))
+        candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+        handles.append(candidates)
+        ids = (
+            candidates.select(F.explode(F.array("a", "b")).alias(key))
+            .distinct()
+        )
+        df = df.join(F.broadcast(ids), key, "left_semi")
     shingled = _shingle_explode(df, text_col, key, n)
     sizes = shingled.groupBy("k").agg(F.count("*").alias("sz"))
 
@@ -526,13 +557,14 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("l.k").alias("a"), F.col("r.k").alias("b"))
             .agg(F.count("*").alias("inter"))
         )
-    return (
+    out = (
         joined.join(sizes.withColumnRenamed("k", "a").withColumnRenamed("sz", "sz_a"), "a")
         .join(sizes.withColumnRenamed("k", "b").withColumnRenamed("sz", "sz_b"), "b")
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    return attach_persisted(out, handles) if handles else out
 
 
 def hot_shingles(
