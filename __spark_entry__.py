@@ -1178,10 +1178,11 @@ def q42_embedding_neardup(spark, sf):
 
     e = _sf(sf)(spark, "embeddings")
     # size the block grid from the parquet footer (zero Spark jobs)
-    # instead of a count() scan on every timed execution
+    # instead of a count() scan on every timed execution; block_size
+    # auto-derives from cluster parallelism (see cosine_pairs_blocked)
     n_rows = pq.read_metadata(os.path.join(sf, "embeddings.parquet")).num_rows
     return (
-        cosine_pairs_blocked(e, threshold=0.45, block_size=1024, n_rows=n_rows)
+        cosine_pairs_blocked(e, threshold=0.45, n_rows=n_rows)
         .withColumn("cosine", F.round("cosine", 6))
         .orderBy("a", "b")
     )
