@@ -155,6 +155,38 @@ _EVAL_COLS = [
 ]
 
 
+def _eval_tree_one(gt):
+    """(token_seq, pred_parse, roundtrip_ok, nted) for ONE gt_parse
+    string, with each tree primitive computed exactly once.
+
+    The convenience chain (json2token_str → token2json_str →
+    roundtrip_ok → nted over parsed strings) re-parses ``gt`` three
+    times and re-runs the linearize/delinearize pair twice per
+    document — measured ~30% of the fused flagship kernel. Semantics
+    are pinned to the chain exactly:
+
+    * invalid/None ``gt`` → ``seq`` falls back to the raw string
+      (text_sequence semantics), roundtrip is False, nTED scores
+      against ``{}`` — byte-identical to json2token_str/roundtrip_ok/
+      _parse_or_empty;
+    * nTED's pred side uses the delinearized tree object directly
+      instead of re-parsing its own dumps — key order is irrelevant
+      because ``normalize_tree`` sorts dict items.
+    """
+    try:
+        gt_tree = json.loads(gt)
+        parsed = True
+    except (TypeError, ValueError):
+        gt_tree = None
+        parsed = False
+    seq = tree.json2token(gt_tree) if parsed else (gt if gt is not None else "")
+    back = tree.token2json(seq)
+    pred = json.dumps(back, ensure_ascii=False, sort_keys=True)
+    ok = parsed and tree.canonicalize(back) == tree.canonicalize(gt_tree)
+    nted = metrics.nted_accuracy(back, gt_tree if parsed else {})
+    return seq, pred, ok, nted
+
+
 @F.pandas_udf(EVAL_SCHEMA)
 def _extract_eval_fused(spans_json: pd.Series, gt_parse: pd.Series) -> pd.DataFrame:
     """Fused extraction + invariant evaluation — ONE Python node.
@@ -176,14 +208,7 @@ def _extract_eval_fused(spans_json: pd.Series, gt_parse: pd.Series) -> pd.DataFr
     for sj, gt in zip(spans_json, gt_parse):
         try:
             pieces = _extract_one(loads(sj) if sj else [])
-            seq = tree.json2token_str(gt)
-            pred = tree.token2json_str(seq)
-            ok = tree.roundtrip_ok(gt)
-            try:
-                gt_tree = loads(gt) if gt else {}
-            except ValueError:
-                gt_tree = {}
-            nted = metrics.nted_accuracy(loads(pred), gt_tree)
+            seq, pred, ok, nted = _eval_tree_one(gt)
             rows.append(
                 (dumps(pieces, ensure_ascii=False), seq, pred, int(ok), nted, None)
             )
@@ -296,10 +321,7 @@ def _tree_eval_fused(gt_parse: pd.Series) -> pd.DataFrame:
     null/garbage coercion for nTED)."""
     rows = []
     for gt in gt_parse:
-        seq = tree.json2token_str(gt)
-        pred = tree.token2json_str(seq)
-        ok = tree.roundtrip_ok(gt)
-        nted = metrics.nted_accuracy(_parse_or_empty(pred), _parse_or_empty(gt))
+        seq, pred, ok, nted = _eval_tree_one(gt)
         rows.append((seq, pred, int(ok), nted))
     return pd.DataFrame(
         rows, columns=["token_seq", "pred_parse", "roundtrip_ok", "nted"]

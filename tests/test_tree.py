@@ -141,3 +141,39 @@ def test_str_wrappers():
     assert json.loads(token2json_str(seq)) == {"a": "1"}
     # invalid json → passthrough
     assert json2token_str("raw text") == "raw text"
+
+
+def test_eval_tree_one_matches_chained_primitives():
+    """Round-6 optimization pin: the fused single-pass tree evaluation
+    (`functions.udfs._eval_tree_one`) must be byte-identical to the
+    convenience chain it replaced (json2token_str → token2json_str →
+    roundtrip_ok → nted over _parse_or_empty) on valid, invalid, empty
+    and adversarial gt strings."""
+    from donut_spark.core import metrics, tree
+    from donut_spark.functions.udfs import _eval_tree_one, _parse_or_empty
+
+    cases = [
+        json.dumps({"menu": [{"nm": "a", "cnt": "1"}, {"nm": "b"}]}),
+        json.dumps({"a": {"b": ["1", "2"], "c": ""}, "d": "x"}),
+        json.dumps({"text_sequence": "plain words"}),
+        json.dumps({"z||y": "regex meta", "k.*": ["v"]}),
+        json.dumps({"n": "line\nbreak"}),  # no-DOTALL quirk path
+        json.dumps({}),
+        json.dumps([1, 2, {"k": "v"}]),
+        json.dumps("bare string"),
+        json.dumps(0),
+        "not json at all",
+        "<s_a>1</s_a>",  # token-ish garbage
+        "",
+        None,
+    ]
+    for gt in cases:
+        seq0 = tree.json2token_str(gt)
+        pred0 = tree.token2json_str(seq0)
+        ok0 = tree.roundtrip_ok(gt)
+        nted0 = metrics.nted_accuracy(_parse_or_empty(pred0), _parse_or_empty(gt))
+        seq1, pred1, ok1, nted1 = _eval_tree_one(gt)
+        assert seq1 == seq0, gt
+        assert pred1 == pred0, gt
+        assert bool(ok1) == bool(ok0), gt
+        assert nted1 == nted0, gt
