@@ -160,32 +160,26 @@ class _Lexer:
         self.b = data
         self.i = pos
 
+    # Tokenizer fast paths (round-6): whitespace/comment runs and bare
+    # token words are matched with ONE precompiled C-level regex step
+    # instead of a per-byte Python loop — the two were the top entries
+    # of the parse profile (~35% of tottime). Character classes are the
+    # literal _WHITESPACE/_DELIM sets; comment semantics (% to CR/LF,
+    # EOL consumed by the following whitespace alternative) unchanged.
+    _WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+    _WORD_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+
     def _skip_ws(self) -> None:
-        b, i, n = self.b, self.i, len(self.b)
-        while i < n:
-            c = b[i]
-            if c == 0x25:  # % comment to end of line
-                while i < n and b[i] not in (0x0D, 0x0A):
-                    i += 1
-            elif b[i : i + 1] in _WHITESPACE:
-                i += 1
-            else:
-                break
-        self.i = i
+        m = self._WS_RE.match(self.b, self.i)
+        if m:
+            self.i = m.end()
 
     def _read_token_word(self) -> bytes:
         """A bare keyword token (obj/endobj/stream/R/true/BT/Tj/...)."""
         self._skip_ws()
-        b, i, n = self.b, self.i, len(self.b)
-        j = i
-        while (
-            j < n
-            and b[j : j + 1] not in _WHITESPACE
-            and b[j : j + 1] not in _DELIM
-        ):
-            j += 1
-        self.i = j
-        return b[i:j]
+        m = self._WORD_RE.match(self.b, self.i)
+        self.i = m.end()
+        return m.group(0)
 
     # -- terminals ----------------------------------------------------------
 
@@ -215,6 +209,14 @@ class _Lexer:
 
     def _read_name(self) -> Name:
         assert self.b[self.i : self.i + 1] == b"/"
+        # fast path: '#' and hex digits are regular (non-delimiter) name
+        # chars, so one regex step captures the whole raw token; names
+        # without #xx escapes (virtually all) decode directly
+        m = self._WORD_RE.match(self.b, self.i + 1)
+        tok = m.group(0)
+        if b"#" not in tok:
+            self.i = m.end()
+            return Name(tok.decode("latin-1"))
         b, n = self.b, len(self.b)
         i = self.i + 1
         out = bytearray()
@@ -288,9 +290,7 @@ class _Lexer:
         end = self.b.find(b">", self.i + 1)
         if end < 0:
             raise ValueError("pdf: unterminated hex string")
-        hx = bytes(
-            c for c in self.b[self.i + 1 : end] if bytes([c]) not in _WHITESPACE
-        )
+        hx = self.b[self.i + 1 : end].translate(None, _WHITESPACE)
         self.i = end + 1
         if len(hx) % 2:
             hx += b"0"
