@@ -899,7 +899,9 @@ class _StdDecryptor:
         elif v == 4:
             if r != 4:
                 raise ValueError(f"pdf: encryption V4/R{r} unsupported")
-            n = self._key_bytes(doc.resolve(enc.get("Length", 128)))
+            # ISO 32000-1 Table 20: /Length defaults to 40 for every V
+            # (real V4 files nearly always set it explicitly)
+            n = self._key_bytes(doc.resolve(enc.get("Length", 40)))
             meta = doc.resolve(enc.get("EncryptMetadata", True))
             self.key = std_file_key(
                 b"", o, p, self._id0(doc), r, n, encrypt_metadata=bool(meta)
@@ -1710,9 +1712,15 @@ def _interpret_content(
             if lx._read_token_word() != b"EI":
                 raise ValueError("pdf: inline image missing EI")
         elif op == b"q":
-            gs_stack.append(ctm)
+            # font and size are graphics-state per ISO 32000-1 Table 52:
+            # a Tf inside q..Q must not leak past the matching Q, or
+            # subsequent show strings decode with a stale font map
+            gs_stack.append((ctm, font_name, size, leading))
         elif op == b"Q":
-            ctm = gs_stack.pop() if gs_stack else _IDENT
+            if gs_stack:
+                ctm, font_name, size, leading = gs_stack.pop()
+            else:
+                ctm = _IDENT
         elif op == b"cm":
             ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
         # every other operator just consumes its operands

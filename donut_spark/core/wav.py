@@ -102,6 +102,11 @@ def _walk(data: bytes) -> Tuple[bytes, bytes]:
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("wav: data chunk before fmt")
+            if raw is not None:
+                # a duplicate data chunk would silently overwrite the
+                # first (e.g. an empty trailer decoding as silence) —
+                # poison-row contract: malformed files raise
+                raise ValueError("wav: duplicate data chunk")
             raw = body
         # unknown chunks (LIST, fact, cue …) are skipped
         i += 8 + size + (size & 1)  # pad byte on odd sizes

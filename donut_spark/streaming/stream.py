@@ -231,6 +231,8 @@ def streaming_contamination(
 
     @F.pandas_udf(hit_schema)
     def hits(text: pd.Series) -> pd.DataFrame:
+        contains = bench.__contains__
+        intersect = bench.intersection
         out = []
         for t in text:
             # java_ws_shingles is the module-level python twin of
@@ -238,11 +240,12 @@ def streaming_contamination(
             # tokens/shingles dropped). n_hits counts raw OCCURRENCES
             # (the batch twin explodes the corpus side non-distinct —
             # repetition is leak evidence); n_distinct_hits the
-            # distinct overlapping shingles.
+            # distinct overlapping shingles. intersection(raw) probes
+            # the (usually miss-only) shingles against the set without
+            # materializing set(raw) per document.
             raw = java_ws_shingles(t, n)
-            raw_hits = sum(1 for s in raw if s in bench)
-            matched = set(raw) & bench
-            out.append((raw_hits, len(matched)))
+            raw_hits = sum(map(contains, raw))
+            out.append((raw_hits, len(intersect(raw))))
         return pd.DataFrame(out, columns=["n_hits", "n_distinct_hits"])
 
     return docs.withColumn("_c", hits(F.col(text_col))).select(

@@ -1123,3 +1123,21 @@ def test_layout_pages_arithmetic():
     assert layout_slot(1, 8) == (1, 72.0, 720.0)
     # single-span doc still gets one page
     assert len(doc_layout_pages(0, [("text", "x", "")])) == 1
+
+
+def test_q_Q_restores_font_state():
+    """ADVICE r5: font name/size/leading are graphics state (ISO 32000-1
+    Table 52) — a Tf inside q..Q must not decode show strings after the
+    matching Q with the stale font map."""
+    from donut_spark.core.pdf import _interpret_content
+
+    fonts = {
+        "F1": (1, {0x41: "a", 0x42: "b"}),
+        "F2": (1, {0x41: "x", 0x42: "y"}),
+    }
+    content = (
+        b"BT /F1 10 Tf 5 TL 0 0 Td q /F2 8 Tf (AB) Tj Q (AB) Tj ET"
+    )
+    spans = _interpret_content(content, None, fonts)
+    assert [s[4] for s in spans] == ["xy", "ab"]
+    assert spans[0][3] == 8.0 and spans[1][3] == 10.0  # size restored too

@@ -230,3 +230,19 @@ def test_streaming_media_ingest_matches_batch(spark, tmp_path):
     # all four modalities were actually present in the staged batch
     fmts = {r.meta.format for r in media.collect()}
     assert fmts == {"png", "jpeg", "webm", "wav"}
+
+
+def test_duplicate_data_chunk_poisons():
+    """ADVICE r5: a second data chunk (e.g. an empty trailer) must raise
+    instead of silently replacing the first decode with silence."""
+    import struct
+
+    import pytest
+
+    from donut_spark.core.wav import decode_wav, encode_wav
+
+    b = bytearray(encode_wav(b"\x01\x00\x02\x00" * 10, 16000, channels=1, bits=16))
+    b += b"data" + struct.pack("<I", 0)  # empty trailing data chunk
+    b[4:8] = struct.pack("<I", len(b) - 8)  # fix RIFF size
+    with pytest.raises(ValueError, match="duplicate data"):
+        decode_wav(bytes(b))
