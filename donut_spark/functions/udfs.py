@@ -470,7 +470,16 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 
 
 def minhash_udf(num_perm: int = 64, shingle_k: int = 3, seed: int = 1):
-    """MinHash signature UDF factory (values < 2^61, safe as BIGINT)."""
+    """MinHash signature UDF factory (values < 2^61, safe as BIGINT).
+
+    Deliberately per-document: a round-6 experiment batched the
+    permutation arithmetic across the whole Arrow batch (concatenated
+    shingle hashes + ``np.minimum.reduceat``) and measured 2.5x SLOWER
+    — the (n_shingles_in_batch × num_perm) uint64 temporaries of the
+    limb arithmetic are ~100 MB per batch and memory-bandwidth bound,
+    while the per-doc (≈50 × 64) working set stays in L1/L2. Parity
+    with the kernel is pinned by
+    tests/test_textstats.py::test_minhash_udf_batched_matches_kernel."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def _minhash(text: pd.Series) -> pd.Series:

@@ -151,3 +151,37 @@ def test_simhash_pigeonhole_blocking_is_exact_property():
         assert blocked == brute
 
     check()
+
+
+def test_minhash_udf_batched_matches_kernel(spark):
+    """Round-6 pin: minhash_udf must stay bit-identical to the per-doc
+    textstats.minhash_signature kernel, including empty/whitespace
+    docs at batch boundaries (guards any future re-vectorization of
+    the signature path)."""
+    from pyspark.sql import functions as F
+
+    from donut_spark.core import textstats
+    from donut_spark.functions.udfs import minhash_udf
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "   ",
+        "one two",
+        "a b c d e f g h i j",
+        None,
+        "the quick brown fox",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: r["sig"]
+        for r in df.select("i", minhash_udf(64, 3, 1)(F.col("t")).alias("sig")).collect()
+    }
+    for i, t in enumerate(texts):
+        want = [
+            int(v)
+            for v in textstats.minhash_signature(
+                textstats.word_shingles(t or "", 3), 64, 1
+            )
+        ]
+        assert got[i] == want, f"doc {i}"
