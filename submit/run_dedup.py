@@ -105,18 +105,25 @@ def main() -> None:
     ).write.mode("overwrite").parquet(f"{out}/audit/hot_buckets")
 
     # 3. exact Jaccard verify, candidate-driven (the only shape that
-    #    survives corpus scale)
-    pairs = ngram_jaccard_pairs(
-        uniq,
-        args.text_col,
-        args.key,
-        threshold=args.threshold,
-        candidates=cands,
+    #    survives corpus scale). ngram_jaccard_pairs persists the
+    #    candidate frame across its plan references (round-6) — capture
+    #    those handles too and release them with the banding frame once
+    #    the pairs are on disk
+    pairs_res = capture(
+        ngram_jaccard_pairs(
+            uniq,
+            args.text_col,
+            args.key,
+            threshold=args.threshold,
+            candidates=cands,
+        )
     )
-    pairs.write.mode("overwrite").parquet(f"{out}/pairs")
-    # the banded signature frame minhash_lsh_pairs persisted has now
-    # been fully consumed (pairs are on disk) — release it, or a
-    # long-lived session accumulates one cached frame per stage
+    pairs_res.frame.write.mode("overwrite").parquet(f"{out}/pairs")
+    # the banded signature frame minhash_lsh_pairs persisted and the
+    # candidate frame have now been fully consumed (pairs are on disk)
+    # — release them, or a long-lived session accumulates one cached
+    # frame per stage
+    pairs_res.release()
     cands_res.release()
     pairs = spark.read.parquet(f"{out}/pairs")
 
