@@ -60,6 +60,10 @@ def main() -> None:
         df = queries[name](spark, sf)
         with open(os.path.join(OUT, f"{name}_{tag}.txt"), "w") as fh:
             fh.write(plan_of(df))
+        # a query that persists an intermediate (q24/q26 banded frames)
+        # would otherwise leave cache marks that rewrite LATER captures'
+        # plans with InMemoryTableScan nodes they don't normally have
+        spark.catalog.clearCache()
         print("captured", name)
 
     # non-registry bench legs
