@@ -190,7 +190,13 @@ def normalize_dom(root: HNode, remove_img_tag: bool = False) -> HNode:
     `html_util.py:116-179`: block-tag spacing → ol markers → ul bullets →
     br → table-attr clearing → td flattening/attr pruning.
     """
-    by_tag, parents = _index(root, BLOCK_TAGS + ("ol", "ul"))
+    # one pre-order walk indexes EVERY pass's tags up front; the pass-4/6
+    # tags are re-indexed below only when the list passes actually
+    # detached nodes (round-6: most fragments have no lists, and the
+    # second full-tree walk was ~17% of html_to_spans)
+    by_tag, parents = _index(
+        root, BLOCK_TAGS + ("ol", "ul") + _NEWLINE_TAGS + _TABLE_TAGS + ("td",)
+    )
 
     # 1. block tags: pad with spaces; wrap direct text children in spaces
     # (text-only mutation — the index stays valid)
@@ -217,8 +223,13 @@ def normalize_dom(root: HNode, remove_img_tag: bool = False) -> HNode:
         for li in list(ul.find_all("li")):
             li.replace_with_text(ul, f" • {li.text} ")
 
-    # fresh index after list replacements detached nodes
-    by_tag, parents = _index(root, _NEWLINE_TAGS + _TABLE_TAGS + ("td",))
+    # fresh index ONLY when the list replacements above detached nodes;
+    # pass 1 is text-only mutation (the comment there), so with no
+    # ol/ul in the tree the up-front index is still exact for passes
+    # 4-6 (added text nodes never appear in by_tag, and every element's
+    # parent link is unchanged)
+    if by_tag["ol"] or by_tag["ul"]:
+        by_tag, parents = _index(root, _NEWLINE_TAGS + _TABLE_TAGS + ("td",))
 
     # 4. line breaks → space
     for name in _NEWLINE_TAGS:
