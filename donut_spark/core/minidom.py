@@ -10,6 +10,8 @@ editing, and round-trip serialization.
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import Iterator, List, Optional
 
@@ -155,9 +157,103 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(HNode(None, data=data))
 
 
-def parse_html(html: str) -> HNode:
-    """Parse (possibly malformed) HTML into a document node."""
+def _parse_html_slow(html: str) -> HNode:
+    """Reference path: stdlib ``html.parser`` driving :class:`_TreeBuilder`."""
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
     return builder.root
+
+
+# ---------------------------------------------------------------------------
+# Fast tokenizer (round-6): html.parser's goahead loop is ~35% of the
+# flagship extraction kernel (cProfile, 5k sf0.1 docs). The fast path
+# below parses only the PROVEN-EQUIVALENT grammar subset — lowercase-able
+# tag names [a-zA-Z][a-zA-Z0-9]*, whitespace-separated double-quoted
+# '&'-free attributes, plain end tags, charref-free or unescape()-clean
+# text — and delegates the WHOLE document to ``_parse_html_slow`` the
+# moment anything outside that subset appears (comments, PIs,
+# declarations, bogus tags, literal '<', script/style CDATA modes,
+# single-quoted/bare/'='-stacked attributes, truncated tags). Inside the
+# subset every rule mirrors html.parser line-for-line: tag/attr names
+# lowercased, dict(attrs) last-wins, text segments unescape()d between
+# tags, one text node per inter-tag segment (granularity is semantic —
+# normalize_dom's block pass pads each DIRECT text child), '<x/>' is
+# start+end without a stack push, end tags pop leniently to the nearest
+# match. Byte-parity is pinned by tests/test_minidom.py's adversarial
+# list + seeded 200k-doc fuzz against _parse_html_slow.
+
+# anything that must take the reference path. '<' not followed by a
+# letter (or '/'+letter) covers comments/decls/PIs/'</>'/literal '<'
+# and '<'-at-EOF; the script/style alternation (deliberately broad:
+# any case, optional '/') covers both CDATA-mode elements.
+_FALLBACK_RE = re.compile(
+    r"<(?![a-zA-Z]|/[a-zA-Z])"
+    r"|</?(?:[sS][cC][rR][iI][pP][tT]|[sS][tT][yY][lL][eE])"
+)
+# subset start tag: name + zero or more ws-separated name="value" attrs
+# (value free of '"', '<', '&' — '&' would need unescape, '<' is legal
+# for html.parser inside quotes but rare; both fall back) + optional '/'
+_START_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[^\s/>=]+\s*=\s*\"[^\"<&]*\")*)"
+    r"\s*(/?)>"
+)
+# subset end tag: '</name>' with optional trailing ws (html.parser's
+# endtagfind also allows ws after '</'; that shape falls back)
+_END_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
+_ATTR_RE = re.compile(r"([^\s/>=]+)\s*=\s*\"([^\"]*)\"")
+
+
+def parse_html(html: str) -> HNode:
+    """Parse (possibly malformed) HTML into a document node.
+
+    Semantics are exactly ``html.parser``'s (convert_charrefs=True) as
+    driven by :class:`_TreeBuilder`; the fast tokenizer is an
+    implementation detail that self-disqualifies outside its proven
+    subset (see the block comment above)."""
+    if _FALLBACK_RE.search(html):
+        return _parse_html_slow(html)
+    root = HNode("[document]")
+    stack = [root]
+    i, n = 0, len(html)
+    find = html.find
+    start_match = _START_RE.match
+    end_match = _END_RE.match
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            j = n
+        if i < j:
+            seg = html[i:j]
+            if "&" in seg:
+                seg = unescape(seg)
+            stack[-1].children.append(HNode(None, data=seg))
+            i = j
+        if i == n:
+            break
+        if html[i + 1] == "/":
+            m = end_match(html, i)
+            if m is None:
+                return _parse_html_slow(html)
+            tag = m.group(1).lower()
+            for k in range(len(stack) - 1, 0, -1):
+                if stack[k].tag == tag:
+                    del stack[k:]
+                    break
+            i = m.end()
+        else:
+            m = start_match(html, i)
+            if m is None:
+                return _parse_html_slow(html)
+            tag = m.group(1).lower()
+            attrs = {}
+            if m.group(2):
+                for am in _ATTR_RE.finditer(m.group(2)):
+                    attrs[am.group(1).lower()] = am.group(2)
+            node = HNode(tag, attrs)
+            stack[-1].children.append(node)
+            if not m.group(3) and tag not in _VOID:
+                stack.append(node)
+            i = m.end()
+    return root
