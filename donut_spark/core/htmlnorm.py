@@ -161,13 +161,18 @@ def _ol_marker(ol_type: str, idx: int) -> str:
     return chr(base + idx)
 
 
-def _index(root: HNode, tags) -> tuple:
+def _index(root: HNode, tags, parent_tags=()) -> tuple:
     """Single pre-order traversal → ({tag: [nodes]}, {id(node): parent}).
+
+    The parent map records only children whose tag is in ``parent_tags``
+    (the br pass is the sole reader; indexing every node's parent was
+    one dict write per tree node for nothing).
 
     Mutation-sensitive: callers re-index after structural changes, at
     the same points the reference's repeated ``find_all`` calls would
     observe them (bs4 re-queries the live tree per pass)."""
     wanted = set(tags)
+    need_parent = set(parent_tags)
     by_tag: dict = {t: [] for t in wanted}
     parent: dict = {}
     stack = [root]
@@ -177,8 +182,10 @@ def _index(root: HNode, tags) -> tuple:
             by_tag[node.tag].append(node)
         kids = node.children
         if kids:
-            for c in kids:
-                parent[id(c)] = node
+            if need_parent:
+                for c in kids:
+                    if c.tag in need_parent:
+                        parent[id(c)] = node
             stack.extend(reversed(kids))
     return by_tag, parent
 
@@ -195,7 +202,9 @@ def normalize_dom(root: HNode, remove_img_tag: bool = False) -> HNode:
     # detached nodes (round-6: most fragments have no lists, and the
     # second full-tree walk was ~17% of html_to_spans)
     by_tag, parents = _index(
-        root, BLOCK_TAGS + ("ol", "ul") + _NEWLINE_TAGS + _TABLE_TAGS + ("td",)
+        root,
+        BLOCK_TAGS + ("ol", "ul") + _NEWLINE_TAGS + _TABLE_TAGS + ("td",),
+        parent_tags=_NEWLINE_TAGS,
     )
 
     # 1. block tags: pad with spaces; wrap direct text children in spaces
@@ -229,7 +238,9 @@ def normalize_dom(root: HNode, remove_img_tag: bool = False) -> HNode:
     # 4-6 (added text nodes never appear in by_tag, and every element's
     # parent link is unchanged)
     if by_tag["ol"] or by_tag["ul"]:
-        by_tag, parents = _index(root, _NEWLINE_TAGS + _TABLE_TAGS + ("td",))
+        by_tag, parents = _index(
+            root, _NEWLINE_TAGS + _TABLE_TAGS + ("td",), parent_tags=_NEWLINE_TAGS
+        )
 
     # 4. line breaks → space
     for name in _NEWLINE_TAGS:
@@ -447,7 +458,11 @@ def strip_boilerplate_dom(
        (a long article that happens to cite many links survives).
     """
     for _ in range(2):  # nested chrome: second pass catches re-parented text
-        index, parents = _index(root, _KILL_TAGS + _BLOCK_CANDIDATES)
+        index, parents = _index(
+            root,
+            _KILL_TAGS + _BLOCK_CANDIDATES,
+            parent_tags=_KILL_TAGS + _BLOCK_CANDIDATES,
+        )
         changed = False
         for tag in _KILL_TAGS:
             for node in index.get(tag, []):

@@ -27,7 +27,13 @@ from .editdist import Node, levenshtein, tree_edit_distance
 from .minidom import HNode, parse_html
 from .tree import normalize_tree
 
-__all__ = ["nted_accuracy", "teds", "teds_struct", "build_parse_tree"]
+__all__ = [
+    "nted_accuracy",
+    "nted_accuracy_normalized",
+    "teds",
+    "teds_struct",
+    "build_parse_tree",
+]
 
 _LEAF = "<leaf>"
 
@@ -78,8 +84,16 @@ def _nted_distance(a: Node, b: Node) -> float:
 
 def nted_accuracy(pred: Any, gold: Any) -> float:
     """nTED-based accuracy between two parse trees (dicts/lists)."""
-    norm_pred = normalize_tree(pred)
-    norm_gold = normalize_tree(gold)
+    return nted_accuracy_normalized(normalize_tree(pred), normalize_tree(gold))
+
+
+def nted_accuracy_normalized(norm_pred: Any, norm_gold: Any) -> float:
+    """:func:`nted_accuracy` on ALREADY-normalized trees — the fused
+    evaluation kernel computes ``normalize_tree`` once per side and
+    shares it between the round-trip compare and the nTED score
+    (normalize_tree is ~1/3 of the eval half of the flagship kernel;
+    byte-parity with the unfused chain is pinned by
+    tests/test_tree.py::test_eval_tree_one_matches_chained_primitives)."""
     if norm_pred == norm_gold:
         # exact fast path: update cost is 0 only for equal labels, so
         # TED(t, t) == 0 and the score is exactly 1 — skip the O(n^2) DP

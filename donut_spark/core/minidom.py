@@ -67,7 +67,16 @@ class HNode:
         """Concatenated text of all descendant text nodes (bs4 ``.text``)."""
         if self.is_text:
             return self.data
-        return "".join(n.data for n in self.collect() if n.is_text)
+        # pre-order walk without materializing the full node list
+        out: List[str] = []
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if node.tag is None:
+                out.append(node.data)
+            elif node.children:
+                stack.extend(reversed(node.children))
+        return "".join(out)
 
     # -- mutation ------------------------------------------------------
 
@@ -91,9 +100,19 @@ class HNode:
             parent.replace_child(self, HNode(None, data=text))
 
     def find_parent(self, target: "HNode") -> Optional["HNode"]:
-        for node in self.collect():
-            if not node.is_text and any(c is target for c in node.children):
-                return node
+        # same pre-order visit order as iterating collect(), but early
+        # exit without building the list
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            kids = node.children
+            if node.tag is not None and kids:
+                for c in kids:
+                    if c is target:
+                        return node
+                stack.extend(reversed(kids))
+            elif kids:
+                stack.extend(reversed(kids))
         return None
 
     def set_string(self, text: str) -> None:

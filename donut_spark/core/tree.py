@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import re
+from functools import lru_cache
 from typing import Any, FrozenSet, Iterable
 
 __all__ = [
@@ -69,6 +70,30 @@ __all__ = [
 
 _START_TAG_RE = re.compile(r"<s_(.*?)>", re.IGNORECASE)
 _SEP = "<sep/>"
+
+
+@lru_cache(maxsize=4096)
+def _end_pattern(key: str) -> "re.Pattern":
+    """Compiled end-tag pattern for ``key`` (reference-exact: the key is
+    NOT regex-escaped, model.py:1031, so metacharacters act as regex);
+    a key that fails to COMPILE degrades to literal matching (documented
+    robustness deviation — module docstring). Cached because the same
+    handful of keys repeats across every document of a corpus; the
+    stdlib re cache would do the same lookup with more overhead and a
+    smaller, evictable table."""
+    try:
+        return re.compile(f"</s_{key}>", re.IGNORECASE)
+    except re.error:
+        return re.compile(re.escape(f"</s_{key}>"), re.IGNORECASE)
+
+
+@lru_cache(maxsize=4096)
+def _content_pattern(start_tok: str, end_tok: str) -> "re.Pattern":
+    """Compiled ``start(.*?)end`` content pattern — reference-exact:
+    escaped literals, IGNORECASE, NO DOTALL (model.py:1039)."""
+    return re.compile(
+        re.escape(start_tok) + "(.*?)" + re.escape(end_tok), re.IGNORECASE
+    )
 
 
 def json2token(
@@ -122,14 +147,7 @@ def _token2json(tokens: str, wrapped_vocab: set, is_inner: bool) -> Any:
             break
         key = start_m.group(1)
         start_tok = start_m.group()
-        try:
-            # reference-exact: the key is NOT regex-escaped
-            # (model.py:1031), so metacharacters in a key act as regex
-            end_m = re.search(f"</s_{key}>", tokens, re.IGNORECASE)
-        except re.error:
-            # the reference crashes here; we degrade to literal matching
-            # (documented robustness deviation — see module docstring)
-            end_m = re.search(re.escape(f"</s_{key}>"), tokens, re.IGNORECASE)
+        end_m = _end_pattern(key).search(tokens)
         if end_m is None or not end_m.group():
             # Unmatched start tag: drop it and keep scanning. The
             # zero-width case (e.g. key "a||b" — the empty alternative
@@ -140,13 +158,7 @@ def _token2json(tokens: str, wrapped_vocab: set, is_inner: bool) -> Any:
             tokens = tokens.replace(start_tok, "")
             continue
         end_tok = end_m.group()
-        # reference-exact: NO DOTALL (model.py:1039) — content spanning a
-        # newline fails the search and the key is dropped
-        content_m = re.search(
-            re.escape(start_tok) + "(.*?)" + re.escape(end_tok),
-            tokens,
-            re.IGNORECASE,
-        )
+        content_m = _content_pattern(start_tok, end_tok).search(tokens)
         if content_m is not None:
             content = content_m.group(1).strip()
             if "<s_" in content and "</s_" in content:  # non-leaf
