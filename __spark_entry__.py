@@ -331,7 +331,13 @@ def q15_exact_dup_clusters(spark, sf):
             F.col("n_dups").cast("long").alias("n"),
         )
     )
-    passages = duplicated_passages(d, n=8).select(
+    # persist=True: the positions frame (one row per token) feeds both
+    # the doc-frequency agg and the position join; computing it once and
+    # spilling beats the second full shingle pass (measured 1.6-1.7x on
+    # the 50k-doc staging, round 6). Intra-query, lineage-backed, handle
+    # rides the result under the plans.cache release contract — not a
+    # cross-run cache.
+    passages = duplicated_passages(d, n=8, persist=True).select(
         F.lit("passage").alias("family"),
         F.col("doc_id").cast("long").alias("doc_id"),
         "start_tok",
