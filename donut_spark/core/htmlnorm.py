@@ -153,6 +153,13 @@ def postprocess_sequence(seq: str, drop_first_task_token: bool = True) -> str:
 
 _OL_MARKER_BASES = {"1": None, "a": 97, "A": 65, "i": 8560, "I": 8544}
 
+# precomputed _index tag sets (per-call set construction was measurable)
+_NEWLINE_SET = frozenset(_NEWLINE_TAGS)
+_NORM_ALL_TAGS = frozenset(
+    BLOCK_TAGS + ("ol", "ul") + _NEWLINE_TAGS + _TABLE_TAGS + ("td",)
+)
+_NORM_LATE_TAGS = frozenset(_NEWLINE_TAGS + _TABLE_TAGS + ("td",))
+
 
 def _ol_marker(ol_type: str, idx: int) -> str:
     base = _OL_MARKER_BASES.get(ol_type)
@@ -171,15 +178,23 @@ def _index(root: HNode, tags, parent_tags=()) -> tuple:
     Mutation-sensitive: callers re-index after structural changes, at
     the same points the reference's repeated ``find_all`` calls would
     observe them (bs4 re-queries the live tree per pass)."""
-    wanted = set(tags)
-    need_parent = set(parent_tags)
-    by_tag: dict = {t: [] for t in wanted}
+    wanted = tags if isinstance(tags, frozenset) else frozenset(tags)
+    need_parent = (
+        parent_tags
+        if isinstance(parent_tags, frozenset)
+        else frozenset(parent_tags)
+    )
+    by_tag: dict = {}
     parent: dict = {}
     stack = [root]
     while stack:
         node = stack.pop()
         if node.tag in wanted:
-            by_tag[node.tag].append(node)
+            lst = by_tag.get(node.tag)
+            if lst is None:
+                by_tag[node.tag] = [node]
+            else:
+                lst.append(node)
         kids = node.children
         if kids:
             if need_parent:
@@ -201,16 +216,12 @@ def normalize_dom(root: HNode, remove_img_tag: bool = False) -> HNode:
     # tags are re-indexed below only when the list passes actually
     # detached nodes (round-6: most fragments have no lists, and the
     # second full-tree walk was ~17% of html_to_spans)
-    by_tag, parents = _index(
-        root,
-        BLOCK_TAGS + ("ol", "ul") + _NEWLINE_TAGS + _TABLE_TAGS + ("td",),
-        parent_tags=_NEWLINE_TAGS,
-    )
+    by_tag, parents = _index(root, _NORM_ALL_TAGS, parent_tags=_NEWLINE_SET)
 
     # 1. block tags: pad with spaces; wrap direct text children in spaces
     # (text-only mutation — the index stays valid)
     for name in BLOCK_TAGS:
-        for tag in by_tag[name]:
+        for tag in by_tag.get(name, ()):
             tag.insert_text(0, " ")
             tag.append_text(" ")
             for child in list(tag.children):
@@ -218,7 +229,9 @@ def normalize_dom(root: HNode, remove_img_tag: bool = False) -> HNode:
                     child.data = f" {child.data} "
 
     # 2. ordered lists: li → " N. text "
-    for ol in by_tag["ol"]:
+    ols = by_tag.get("ol", ())
+    uls0 = by_tag.get("ul", ())
+    for ol in ols:
         ol_type = ol.attrs.get("type")
         if ol_type not in _OL_MARKER_BASES:
             ol_type = "1"
@@ -227,7 +240,7 @@ def normalize_dom(root: HNode, remove_img_tag: bool = False) -> HNode:
 
     # 3. unordered lists: li → " • text " (re-query when ol mutations may
     # have detached nested uls — mirrors bs4's live re-query)
-    uls = root.find_all("ul") if by_tag["ol"] and by_tag["ul"] else by_tag["ul"]
+    uls = root.find_all("ul") if ols and uls0 else uls0
     for ul in uls:
         for li in list(ul.find_all("li")):
             li.replace_with_text(ul, f" • {li.text} ")
@@ -237,25 +250,23 @@ def normalize_dom(root: HNode, remove_img_tag: bool = False) -> HNode:
     # ol/ul in the tree the up-front index is still exact for passes
     # 4-6 (added text nodes never appear in by_tag, and every element's
     # parent link is unchanged)
-    if by_tag["ol"] or by_tag["ul"]:
-        by_tag, parents = _index(
-            root, _NEWLINE_TAGS + _TABLE_TAGS + ("td",), parent_tags=_NEWLINE_TAGS
-        )
+    if ols or uls0:
+        by_tag, parents = _index(root, _NORM_LATE_TAGS, parent_tags=_NEWLINE_SET)
 
     # 4. line breaks → space
     for name in _NEWLINE_TAGS:
-        for tag in by_tag[name]:
+        for tag in by_tag.get(name, ()):
             p = parents.get(id(tag))
             if p is not None:
                 p.replace_child(tag, HNode(None, data=" "))
 
     # 5. structural table tags lose all attributes
     for name in _TABLE_TAGS:
-        for tag in by_tag[name]:
+        for tag in by_tag.get(name, ()):
             tag.attrs = {}
 
     # 6. table cells: flatten to text (img → sentinel → <img>), prune attrs
-    for td in by_tag["td"]:
+    for td in by_tag.get("td", ()):
         imgs = td.find_all("img")
         if remove_img_tag:
             for img in imgs:
