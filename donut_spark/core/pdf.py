@@ -72,6 +72,7 @@ from __future__ import annotations
 import random
 import re
 import zlib
+from base64 import a85decode
 from typing import Dict, List, Optional, Tuple, Union
 
 from .pdfcrypt import (
@@ -561,7 +562,35 @@ def _asciihex_encode(data: bytes) -> bytes:
     return data.hex().encode("ascii") + b">"
 
 
+# fast-path charset: after stripping PDF whitespace, a well-formed body
+# holds only '!'..'u' digits and 'z' group shortcuts. Anything else must
+# take the reference loop — notably \x0b, which base64.a85decode would
+# silently IGNORE (its default ignorechars) but this codec must reject.
+_A85_BODY_RE = re.compile(rb"[!-uz]*\Z")
+
+
 def _ascii85_decode(data: bytes) -> bytes:
+    # Fast path (round-6): the stdlib C decoder on the cleaned body.
+    # Preconditions pin it to the exact subset where both agree (body
+    # charset above, '~>' terminator present); ANY stdlib failure falls
+    # back to the reference loop below so hostile inputs raise this
+    # codec's own documented errors (z-inside-group, overflow, lone
+    # trailing digit, bad terminator) — fuzz-pinned against the loop.
+    end = data.find(b"~")
+    if end >= 0 and data[end : end + 2] == b"~>":
+        body = data[:end].translate(None, b"\x00\t\n\x0c\r ")
+        # stdlib silently DROPS a lone trailing digit where this codec
+        # raises — exclude final-group-length-1 bodies (the segment
+        # after the last 'z'; z-inside-group cases raise in the stdlib
+        # and fall through to the loop's own error)
+        if (
+            _A85_BODY_RE.fullmatch(body)
+            and len(body.rsplit(b"z", 1)[-1]) % 5 != 1
+        ):
+            try:
+                return a85decode(body, foldspaces=False, adobe=False, ignorechars=b"")
+            except ValueError:
+                pass  # reference loop reproduces the exact error
     out = bytearray()
     group: List[int] = []
     i, n = 0, len(data)

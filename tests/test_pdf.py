@@ -1141,3 +1141,69 @@ def test_q_Q_restores_font_state():
     spans = _interpret_content(content, None, fonts)
     assert [s[4] for s in spans] == ["xy", "ab"]
     assert spans[0][3] == 8.0 and spans[1][3] == 10.0  # size restored too
+
+
+def test_ascii85_fast_path_matches_reference_loop():
+    """Round-6: _ascii85_decode's stdlib fast path must be
+    outcome-identical (bytes AND error messages) to the reference loop
+    it guards — including the stdlib's silent lone-trailing-digit drop,
+    which the precheck must exclude. The loop is forced by stubbing
+    a85decode to raise."""
+    import random
+
+    import donut_spark.core.pdf as pdf_mod
+    from donut_spark.core.pdf import _ascii85_decode, _ascii85_encode
+
+    def slow(data):
+        real = pdf_mod.a85decode
+
+        def boom(*a, **k):
+            raise ValueError("forced fallback")
+
+        pdf_mod.a85decode = boom
+        try:
+            return _ascii85_decode(data)
+        finally:
+            pdf_mod.a85decode = real
+
+    rng = random.Random(7)
+    ws = b"\x00\t\n\x0c\r "
+
+    def rand_stream(r):
+        out = bytearray()
+        for _ in range(r.randint(0, 40)):
+            c = r.random()
+            if c < 0.75:
+                out.append(r.randint(0x21, 0x75))
+            elif c < 0.83:
+                out.append(0x7A)
+            elif c < 0.90:
+                out.append(r.choice(ws))
+            elif c < 0.94:
+                out.append(r.choice(b"\x0bvwxy\x7f\x80"))
+            else:
+                out += b"~>" if r.random() < 0.7 else b"~"
+        if r.random() < 0.85:
+            out += b"~>"
+        return bytes(out)
+
+    cases = [
+        _ascii85_encode(bytes(rng.randint(0, 255) for _ in range(rng.randint(0, 50))))
+        for _ in range(1000)
+    ]
+    cases += [rand_stream(rng) for _ in range(30000)]
+    cases += [
+        b"", b"~>", b"z~>", b"zz~>", b"!!!!!~>", b"s8W-!~>", b"u~>", b"uu~>",
+        b"uuuuu~>", b"\x0b~>", b"!\x0b!~>", b"! ! ! ! !~>", b"zA~>", b"zAA~>",
+        b"!!!!!A~>", b"A~>", b"d~>\x02\x03",
+    ]
+    for data in cases:
+        try:
+            a = ("ok", _ascii85_decode(data))
+        except ValueError as e:
+            a = ("err", str(e))
+        try:
+            b = ("ok", slow(data))
+        except ValueError as e:
+            b = ("err", str(e))
+        assert a == b, data
